@@ -1,0 +1,206 @@
+"""Data plumbing: splits, normalization, detrending, CSV handlers, synthetic.
+
+Reference: ``main/gpbasics/DataHandling/`` — ``AbstractDataInput``/``DataInput``
+(shape validation, seeded train/test split, detrending, subset-of-data,
+inducing-point selection), ``DatasetHandler`` CSV loaders (Mauna Loa etc.,
+``DatasetHandler.py:17-172``; the CSVs themselves are **not shipped** in the
+reference repo), and ``Normalization/MinMax.py``.
+
+Arrays here are jnp; x is ``[n, d]``, y is ``[n]`` (the reference's ``[n, 1]``
+column targets are squeezed on ingest).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MinMaxNormalization:
+    """Min-max scaling with denormalize round-trip
+    (reference ``Normalization/MinMax.py:8-38``)."""
+
+    lo: np.ndarray
+    hi: np.ndarray
+
+    @classmethod
+    def fit(cls, v: np.ndarray) -> "MinMaxNormalization":
+        v = np.asarray(v)
+        return cls(lo=v.min(axis=0), hi=v.max(axis=0))
+
+    def normalize(self, v):
+        span = np.where(self.hi > self.lo, self.hi - self.lo, 1.0)
+        return (v - self.lo) / span
+
+    def denormalize(self, v):
+        span = np.where(self.hi > self.lo, self.hi - self.lo, 1.0)
+        return v * span + self.lo
+
+
+@dataclasses.dataclass
+class DataInput:
+    """Train/test container (reference ``AbstractDataInput``/``DataInput``).
+
+    ``from_arrays`` applies the reference's seeded shuffled split
+    (``AbstractDataInput.py:38-61``; default test_ratio 0.2; test=train when
+    ratio is 0, ``:62-66``).
+    """
+
+    x_train: jnp.ndarray
+    y_train: jnp.ndarray
+    x_test: jnp.ndarray
+    y_test: jnp.ndarray
+    x_norm: Optional[MinMaxNormalization] = None
+    y_norm: Optional[MinMaxNormalization] = None
+
+    @classmethod
+    def from_arrays(cls, x, y, test_ratio: float = 0.2, seed: int = 0,
+                    normalize_x: bool = True, normalize_y: bool = True,
+                    dtype=None) -> "DataInput":
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64).reshape(-1)
+        if x.ndim == 1:
+            x = x[:, None]
+        assert x.shape[0] == y.shape[0]
+        xn = yn = None
+        if normalize_x:  # reference scales x min-max always (DatasetHandler.py:40-55)
+            xn = MinMaxNormalization.fit(x)
+            x = xn.normalize(x)
+        if normalize_y:  # reference p_scale_data_y default True (global_parameters.py:68)
+            yn = MinMaxNormalization.fit(y)
+            y = yn.normalize(y)
+        n = x.shape[0]
+        if test_ratio and test_ratio > 0:
+            idx = np.asarray(jr.permutation(jr.PRNGKey(seed), n))
+            n_test = int(round(n * test_ratio))
+            test_idx, train_idx = np.sort(idx[:n_test]), np.sort(idx[n_test:])
+        else:
+            train_idx = test_idx = np.arange(n)
+        mk = lambda a: jnp.asarray(a, dtype=dtype)  # x64-off downcasts to f32
+        return cls(mk(x[train_idx]), mk(y[train_idx]), mk(x[test_idx]), mk(y[test_idx]), xn, yn)
+
+    @property
+    def n_train(self) -> int:
+        return self.x_train.shape[0]
+
+    def xrange(self) -> jnp.ndarray:
+        """Per-dimension (min, max) of x_train, [d, 2]
+        (reference ``DataInput.get_x_range``, ``DataInput.py:62-75``)."""
+        return jnp.stack([self.x_train.min(axis=0), self.x_train.max(axis=0)], axis=-1)
+
+    def n_inducing(self, ratio: float = 0.1) -> int:
+        """max(20, ratio·n) (reference ``AbstractDataInput.py:80-84``)."""
+        return max(20, int(ratio * self.n_train))
+
+    # --- subset-of-data (reference DataInput.py:126-178) -----------------
+    def subset_random(self, size: int, seed: int = 0) -> "DataInput":
+        idx = np.sort(np.asarray(jr.permutation(jr.PRNGKey(seed), self.n_train)[:size]))
+        return dataclasses.replace(
+            self, x_train=self.x_train[idx], y_train=self.y_train[idx]
+        )
+
+    def subset_grid(self, size: int) -> "DataInput":
+        idx = np.unique(np.linspace(0, self.n_train - 1, size).round().astype(int))
+        return dataclasses.replace(
+            self, x_train=self.x_train[idx], y_train=self.y_train[idx]
+        )
+
+    def split_at_changepoints(self, locations) -> List["DataInput"]:
+        """Segment train/test by change-point thresholds on x[:, 0]
+        (reference ``BlockwiseDataInput``, ``DataInput.py:210-253``)."""
+        locs = list(np.sort(np.asarray(locations).reshape(-1)))
+        edges = [-np.inf] + locs + [np.inf]
+        out = []
+        xtr0 = np.asarray(self.x_train[:, 0])
+        xte0 = np.asarray(self.x_test[:, 0])
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            mtr = (xtr0 >= lo) & (xtr0 < hi)
+            mte = (xte0 >= lo) & (xte0 < hi)
+            out.append(
+                dataclasses.replace(
+                    self,
+                    x_train=self.x_train[mtr], y_train=self.y_train[mtr],
+                    x_test=self.x_test[mte], y_test=self.y_test[mte],
+                )
+            )
+        return out
+
+
+# --- CSV dataset handlers (reference DatasetHandler.py:35-172) -------------
+
+DATA_DIR = os.environ.get("GPF_DATA_DIR", os.path.join(os.path.dirname(__file__), "csv"))
+
+_NAMED = {
+    # name -> (filename, x columns, y column); mirrors the reference's d1..d15
+    "solar_irradiance": ("d1_solar_irradiance.csv", None, None),
+    "mauna_loa": ("d2_mauna_loa.csv", None, None),
+    "power_plant": ("d3_power_plant.csv", None, None),
+    "gefcom": ("d4_gef_com.csv", None, None),
+    "temperature": ("d8_temperature.csv", None, None),
+    "births": ("d15_births.csv", None, None),
+}
+
+
+def load_csv(path: str, x_cols=None, y_col=None, test_ratio: float = 0.2,
+             seed: int = 0, **kw) -> DataInput:
+    """General CSV loader with column selection (reference
+    ``GeneralDatasetHandler``, ``DatasetHandler.py:79-135``; x/y min-max
+    scaling per ``:40-70``)."""
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    if y_col is None:
+        y_col = df.columns[-1]
+    if x_cols is None or x_cols == "ALL":  # reference "§ALL" wildcard
+        x_cols = [c for c in df.columns if c != y_col]
+    x = df[x_cols].to_numpy(dtype=np.float64)
+    y = df[y_col].to_numpy(dtype=np.float64)
+    return DataInput.from_arrays(x, y, test_ratio=test_ratio, seed=seed, **kw)
+
+
+def load_named(name: str, test_ratio: float = 0.2, **kw) -> DataInput:
+    """Named datasets (reference ``DatasetHandler.py:138-172``). Falls back to
+    a synthetic generator when the CSV is absent — the reference expects CSVs
+    under ``data/`` but does not ship them (``DatasetHandler.py:13-14``)."""
+    fname, x_cols, y_col = _NAMED[name]
+    path = os.path.join(DATA_DIR, fname)
+    if os.path.exists(path):
+        return load_csv(path, x_cols, y_col, test_ratio=test_ratio, **kw)
+    if name == "mauna_loa":
+        x, y = synth_mauna_loa()
+        return DataInput.from_arrays(x, y, test_ratio=test_ratio, **kw)
+    raise FileNotFoundError(
+        f"dataset csv not found: {path}; place the file or use synthetic data"
+    )
+
+
+# --- synthetic generators --------------------------------------------------
+
+def synth_se(n: int = 1000, d: int = 1, lengthscale: float = 0.2,
+             noise_sd: float = 0.05, seed: int = 0,
+             dtype=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Draw y from a GP prior with an SE kernel (ground truth for fit tests
+    and the BASELINE config-1 1-D synthetic)."""
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 1.0, size=(n, d)), axis=0)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2 / lengthscale**2) + 1e-10 * np.eye(n)
+    f = np.linalg.cholesky(K) @ rng.standard_normal(n)
+    y = f + noise_sd * rng.standard_normal(n)
+    return x, y
+
+
+def synth_mauna_loa(n: int = 720) -> Tuple[np.ndarray, np.ndarray]:
+    """Mauna-Loa-CO₂-shaped synthetic series (trend + seasonal + noise) used
+    when the real CSV (not shipped in the reference) is unavailable."""
+    t = np.linspace(1958.0, 2018.0, n)
+    trend = 315.0 + 0.8 * (t - 1958.0) + 0.012 * (t - 1958.0) ** 2
+    seasonal = 3.0 * np.sin(2 * np.pi * t) + 0.8 * np.sin(4 * np.pi * t)
+    rng = np.random.default_rng(42)
+    y = trend + seasonal + 0.3 * rng.standard_normal(n)
+    return t[:, None], y

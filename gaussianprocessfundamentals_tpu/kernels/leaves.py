@@ -1,0 +1,359 @@
+"""Base (leaf) kernels.
+
+Formulas match the reference exactly (citations per class); parameterisation
+is a dict pytree per leaf instead of a positional ``List[tf.Tensor]``. Every
+leaf optionally carries an output-scale ``variance`` parameter (constructor
+flag ``scaled``, mirroring the reference's global ``p_scaled_base_kernel``,
+``global_parameters.py:62`` default False).
+
+The declared-but-never-implemented RQ manifestation
+(reference ``KernelBasics/Kernel.py:25``) is implemented here for real.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from gaussianprocessfundamentals_tpu.kernels.base import (
+    Kernel,
+    _as_xrange,
+    _dt,
+    register_kernel,
+)
+from gaussianprocessfundamentals_tpu.ops import distances as dist
+
+
+@dataclasses.dataclass(frozen=True)
+class LeafKernel(Kernel):
+    """Common scaffolding: optional output-scale, bounds-based random init."""
+
+    dim: int = 1
+    scaled: bool = False
+
+    # subclasses implement these three
+    def _gram(self, p, x1, x2):
+        raise NotImplementedError
+
+    def _diag(self, p, x):
+        raise NotImplementedError
+
+    def _own_defaults(self, xr: np.ndarray, n: int, dtype) -> dict:
+        raise NotImplementedError
+
+    def _own_positivity(self) -> dict:
+        raise NotImplementedError
+
+    def _own_bounds(self, xr: np.ndarray, n: int) -> Tuple[dict, dict]:
+        raise NotImplementedError
+
+    # shared machinery ----------------------------------------------------
+    def gram(self, params, x1, x2):
+        k = self._gram(params, x1, x2)
+        if self.scaled:
+            k = params["variance"] * k
+        return k
+
+    def diag(self, params, x):
+        d = self._diag(params, x)
+        if self.scaled:
+            d = params["variance"] * d
+        return d
+
+    def init_params(self, xrange, n, key=None, dtype=None):
+        dtype = _dt(dtype)
+        xr = _as_xrange(xrange)
+        p = self._own_defaults(xr, n, dtype)
+        if self.scaled:
+            # reference default output scale 0.1 (BaseKernels.py:329)
+            p["variance"] = jnp.asarray(0.1, dtype)
+        if key is not None:
+            lo, hi = self.bounds(xrange, n)
+            out = {}
+            for i, (name, v) in enumerate(sorted(p.items())):
+                k = jr.fold_in(key, i)
+                l, h = jnp.asarray(lo[name], dtype), jnp.asarray(hi[name], dtype)
+                l = jnp.where(jnp.isfinite(l), l, v - jnp.abs(v) - 1.0)
+                h = jnp.where(jnp.isfinite(h), h, v + jnp.abs(v) + 1.0)
+                u = jr.uniform(k, jnp.shape(v), dtype)
+                out[name] = l + u * (h - l)
+            p = out
+        return p
+
+    def positivity(self):
+        p = self._own_positivity()
+        if self.scaled:
+            p["variance"] = True
+        return p
+
+    def bounds(self, xrange, n):
+        xr = _as_xrange(xrange)
+        lo, hi = self._own_bounds(xr, n)
+        if self.scaled:
+            # reference: [100·jitter, inf) (BaseKernels.py:301-303)
+            lo["variance"] = 1e-6
+            hi["variance"] = np.inf
+        return lo, hi
+
+    @staticmethod
+    def _lengthscale_bounds(xr: np.ndarray, n: int):
+        """Shared SE/PER/Matérn lengthscale bounds [5·range/n, range/3]
+        (reference ``BaseKernels.py:296-306``)."""
+        r = float(xr[0, 1] - xr[0, 0])
+        return 5.0 * r / max(n, 1), r / 3.0
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class ConstantKernel(LeafKernel):
+    """k(x, x') = c. The reference declares it but its ctor raises
+    ("not up to date", ``BaseKernels.py:54-57``); implemented properly here."""
+
+    def _gram(self, p, x1, x2):
+        n, m = x1.shape[-2], x2.shape[-2]
+        shape = jnp.broadcast_shapes(x1.shape[:-2], x2.shape[:-2]) + (n, m)
+        return jnp.broadcast_to(p["value"], shape)
+
+    def _diag(self, p, x):
+        return jnp.broadcast_to(p["value"], x.shape[:-1])
+
+    def _own_defaults(self, xr, n, dtype):
+        return {"value": jnp.asarray(1.0, dtype)}
+
+    def _own_positivity(self):
+        return {"value": True}
+
+    def _own_bounds(self, xr, n):
+        return {"value": 1e-8}, {"value": np.inf}
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class WhiteNoiseKernel(LeafKernel):
+    """Identity on coincident points (reference ``BaseKernels.py:641-662``).
+
+    Implemented as an exact-coincidence indicator so rectangular train×test
+    blocks are correct (zero unless a test point equals a train point).
+    No hyperparameters (reference has 0; use ``scaled=True`` for a variance).
+    """
+
+    def _gram(self, p, x1, x2):
+        d2 = dist.sq_euclidean(x1, x2)
+        return (d2 <= 0.0).astype(x1.dtype)
+
+    def _diag(self, p, x):
+        return jnp.ones(x.shape[:-1], x.dtype)
+
+    def _own_defaults(self, xr, n, dtype):
+        return {}
+
+    def _own_positivity(self):
+        return {}
+
+    def _own_bounds(self, xr, n):
+        return {}, {}
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class LinearKernel(LeafKernel):
+    """k(x, x') = (x − c)·(x' − c)ᵀ (reference ``BaseKernels.py:114-134``).
+
+    ``c`` is a per-dimension offset, unbounded (``BaseKernels.py:138-142``).
+    """
+
+    def _gram(self, p, x1, x2):
+        a = x1 - p["offset"]
+        b = x2 - p["offset"]
+        return jnp.matmul(a, jnp.swapaxes(b, -1, -2))
+
+    def _diag(self, p, x):
+        a = x - p["offset"]
+        return jnp.sum(a * a, axis=-1)
+
+    def _own_defaults(self, xr, n, dtype):
+        # reference default c = midpoint-ish; it uses mean of range per dim
+        mid = (xr[:, 0] + xr[:, 1]) / 2.0
+        return {"offset": jnp.asarray(mid, dtype)}
+
+    def _own_positivity(self):
+        return {"offset": False}
+
+    def _own_bounds(self, xr, n):
+        d = xr.shape[0]
+        return (
+            {"offset": np.full((d,), -np.inf)},
+            {"offset": np.full((d,), np.inf)},
+        )
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class SquaredExponentialKernel(LeafKernel):
+    """k = exp(−½ d²(x,x') / ℓ²), d = Euclidean
+    (reference ``BaseKernels.py:277-294``; default ℓ = range/10
+    ``:323-332``)."""
+
+    def _gram(self, p, x1, x2):
+        d2 = dist.sq_euclidean(x1, x2)
+        ls = p["lengthscale"]
+        return jnp.exp(-0.5 * d2 / (ls * ls))
+
+    def _diag(self, p, x):
+        return jnp.ones(x.shape[:-1], x.dtype)
+
+    def _own_defaults(self, xr, n, dtype):
+        r = float(xr[0, 1] - xr[0, 0])
+        return {"lengthscale": jnp.asarray(r / 10.0 if r > 0 else 1.0, dtype)}
+
+    def _own_positivity(self):
+        return {"lengthscale": True}
+
+    def _own_bounds(self, xr, n):
+        lo, hi = self._lengthscale_bounds(xr, n)
+        return {"lengthscale": lo}, {"lengthscale": hi}
+
+
+RBFKernel = SquaredExponentialKernel
+KERNEL_ALIAS = {"RBFKernel": SquaredExponentialKernel}
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class PeriodicKernel(LeafKernel):
+    """k = exp(−2 sin²(π·d/p) / ℓ²), d = Manhattan
+    (reference ``BaseKernels.py:440-457``; params ordered [ℓ, p])."""
+
+    def _gram(self, p, x1, x2):
+        d = dist.manhattan(x1, x2)
+        s = jnp.sin(jnp.pi * d / p["period"])
+        ls = p["lengthscale"]
+        return jnp.exp(-2.0 * s * s / (ls * ls))
+
+    def _diag(self, p, x):
+        return jnp.ones(x.shape[:-1], x.dtype)
+
+    def _own_defaults(self, xr, n, dtype):
+        r = float(xr[0, 1] - xr[0, 0])
+        r = r if r > 0 else 1.0
+        return {
+            "lengthscale": jnp.asarray(r / 10.0, dtype),
+            "period": jnp.asarray(r / 10.0, dtype),
+        }
+
+    def _own_positivity(self):
+        return {"lengthscale": True, "period": True}
+
+    def _own_bounds(self, xr, n):
+        llo, lhi = self._lengthscale_bounds(xr, n)
+        r = float(xr[0, 1] - xr[0, 0])
+        # period bounds: [10·range/n, range/5]; sane-ified from the
+        # reference's log-of-range oddity (BaseKernels.py:465-467 wraps the
+        # range fractions in log, which goes negative for range<~5 — a bug,
+        # not intent; we keep the underlying fractions).
+        plo, phi = 10.0 * r / max(n, 1), r / 5.0
+        return (
+            {"lengthscale": llo, "period": plo},
+            {"lengthscale": lhi, "period": phi},
+        )
+
+
+def _matern(frac_const: float):
+    def f(p, d):
+        ls = jnp.abs(p["lengthscale"])
+        frac = frac_const * d / ls
+        if frac_const == math.sqrt(3.0):
+            poly = 1.0 + frac
+        else:  # sqrt(5)
+            poly = 1.0 + frac + 5.0 * d * d / (3.0 * ls * ls)
+        return poly * jnp.exp(-frac)
+
+    return f
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class Matern32Kernel(LeafKernel):
+    """k = (1 + √3 d/ℓ)·exp(−√3 d/ℓ), d = Manhattan
+    (reference ``BaseKernels.py:702-720``)."""
+
+    def _gram(self, p, x1, x2):
+        return _matern(math.sqrt(3.0))(p, dist.manhattan(x1, x2))
+
+    def _diag(self, p, x):
+        return jnp.ones(x.shape[:-1], x.dtype)
+
+    def _own_defaults(self, xr, n, dtype):
+        r = float(xr[0, 1] - xr[0, 0])
+        return {"lengthscale": jnp.asarray(r / 10.0 if r > 0 else 1.0, dtype)}
+
+    def _own_positivity(self):
+        return {"lengthscale": True}
+
+    def _own_bounds(self, xr, n):
+        lo, hi = self._lengthscale_bounds(xr, n)
+        return {"lengthscale": lo}, {"lengthscale": hi}
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class Matern52Kernel(LeafKernel):
+    """k = (1 + √5 d/ℓ + 5d²/3ℓ²)·exp(−√5 d/ℓ), d = Manhattan
+    (reference ``BaseKernels.py:859-880``)."""
+
+    def _gram(self, p, x1, x2):
+        return _matern(math.sqrt(5.0))(p, dist.manhattan(x1, x2))
+
+    def _diag(self, p, x):
+        return jnp.ones(x.shape[:-1], x.dtype)
+
+    def _own_defaults(self, xr, n, dtype):
+        r = float(xr[0, 1] - xr[0, 0])
+        return {"lengthscale": jnp.asarray(r / 10.0 if r > 0 else 1.0, dtype)}
+
+    def _own_positivity(self):
+        return {"lengthscale": True}
+
+    def _own_bounds(self, xr, n):
+        lo, hi = self._lengthscale_bounds(xr, n)
+        return {"lengthscale": lo}, {"lengthscale": hi}
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class RationalQuadraticKernel(LeafKernel):
+    """k = (1 + d²/(2αℓ²))^(−α).
+
+    The reference declares the RQ manifestation but never implements it
+    (``KernelBasics/Kernel.py:25``); this closes the gap with the standard
+    scale-mixture-of-SE form.
+    """
+
+    def _gram(self, p, x1, x2):
+        d2 = dist.sq_euclidean(x1, x2)
+        ls, al = p["lengthscale"], p["alpha"]
+        return jnp.power(1.0 + d2 / (2.0 * al * ls * ls), -al)
+
+    def _diag(self, p, x):
+        return jnp.ones(x.shape[:-1], x.dtype)
+
+    def _own_defaults(self, xr, n, dtype):
+        r = float(xr[0, 1] - xr[0, 0])
+        return {
+            "lengthscale": jnp.asarray(r / 10.0 if r > 0 else 1.0, dtype),
+            "alpha": jnp.asarray(1.0, dtype),
+        }
+
+    def _own_positivity(self):
+        return {"lengthscale": True, "alpha": True}
+
+    def _own_bounds(self, xr, n):
+        lo, hi = self._lengthscale_bounds(xr, n)
+        return (
+            {"lengthscale": lo, "alpha": 1e-3},
+            {"lengthscale": hi, "alpha": np.inf},
+        )

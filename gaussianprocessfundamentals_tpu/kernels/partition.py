@@ -1,0 +1,151 @@
+"""Partition operator + partitioning models (generalised change points).
+
+Reference: ``main/gpbasics/KernelBasics/PartitionOperator.py:15-123`` (block
+assembly via ``LinearOperatorBlockDiag`` / non-square block matrices) and
+``PartitioningModel.py:12-151`` (per-partition criteria: SELF_SUFFICIENT 0/1
+scores vs SMALLEST_DISTANCE argmin with random tie-break; ignored-dimension
+masking).
+
+jit-compatible redesign (SURVEY.md §7 hard part #3): the reference gathers
+variable-length per-partition index sets — shape-dynamic and un-jittable.
+Here partition assignment produces a static-shape one-hot mask and the Gram is
+Σ_p m_p(x1)·K_p(x1,x2)·m_p(x2)ᵀ — mathematically identical to the reference's
+block-diagonal assembly (hard 0/1 masks zero all cross-partition entries)
+while remaining a fixed-shape fused XLA program. The O(Σnᵢ³) *solve* savings
+of true block structure live in :mod:`..models.segmented`, which splits data
+at the Python level exactly like the reference's constituent-GP path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianprocessfundamentals_tpu.kernels.base import Kernel, register_kernel
+from gaussianprocessfundamentals_tpu.kernels.operators import Operator
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitioningModel:
+    """Static, hashable partition-assignment rule."""
+
+    def num_partitions(self) -> int:
+        raise NotImplementedError
+
+    def assign(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [..., n, d] → int ids [..., n] in [0, num_partitions)."""
+        raise NotImplementedError
+
+    def masks(self, x: jnp.ndarray) -> jnp.ndarray:
+        """One-hot [..., n, P] float masks."""
+        ids = self.assign(x)
+        return jax.nn.one_hot(ids, self.num_partitions(), dtype=x.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistancePartitioning(PartitioningModel):
+    """SMALLEST_DISTANCE criterion (reference ``PartitioningModel.py:109-131``):
+    argmin Euclidean distance to per-partition prototype centers. The
+    reference's 1e-10 random tie-break noise is replaced by argmin's
+    deterministic first-wins rule. ``ignored_dims`` mirrors the
+    ignored-dimension masking (``:133-141``)."""
+
+    centers: Tuple[Tuple[float, ...], ...] = ()
+    ignored_dims: Tuple[int, ...] = ()
+
+    def num_partitions(self) -> int:
+        return len(self.centers)
+
+    def assign(self, x):
+        c = jnp.asarray(np.asarray(self.centers), x.dtype)  # [P, d]
+        if self.ignored_dims:
+            keep = np.asarray(
+                [i not in self.ignored_dims for i in range(c.shape[1])]
+            )
+            c = c[:, keep]
+            x = x[..., keep]
+        d2 = jnp.sum((x[..., :, None, :] - c[None, :, :]) ** 2, axis=-1)
+        return jnp.argmin(d2, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxPartitioning(PartitioningModel):
+    """SELF_SUFFICIENT-style criterion (reference 0/1 scores,
+    ``PartitioningModel.py:12-19``): partition p claims points with
+    lo_p ≤ x[dim] < hi_p. Boxes must tile the axis."""
+
+    edges: Tuple[float, ...] = ()  # sorted interior edges; P = len(edges)+1
+    dim: int = 0
+
+    def num_partitions(self) -> int:
+        return len(self.edges) + 1
+
+    def assign(self, x):
+        e = jnp.asarray(np.asarray(self.edges), x.dtype)
+        return jnp.searchsorted(e, x[..., self.dim], side="right")
+
+
+@register_kernel
+@dataclasses.dataclass(frozen=True)
+class Partition(Operator):
+    """K = Σ_p m_p(x1)·K_p(x1,x2)·m_p(x2)ᵀ (block-diagonal by construction)
+    (reference ``PartitionOperator.get_tf_tensor``, ``PartitionOperator.py:30-45``,
+    incl. the rectangular train×test case via L1's non-square assembler —
+    masking handles both square and rectangular uniformly)."""
+
+    model: PartitioningModel = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        assert self.model is not None and len(self.children) == self.model.num_partitions(), (
+            "Partition needs one child kernel per partition "
+            "(reference PartitionOperator.py:49-83 slices per-partition windows)"
+        )
+
+    def gram(self, params, x1, x2):
+        m1 = self.model.masks(x1)  # [..., n, P]
+        m2 = self.model.masks(x2)  # [..., m, P]
+        out = None
+        for p, (c, cp) in enumerate(zip(self.children, params["children"])):
+            kp = c.gram(cp, x1, x2) * (m1[..., :, None, p] * m2[..., None, :, p])
+            out = kp if out is None else out + kp
+        return out
+
+    def diag(self, params, x):
+        m = self.model.masks(x)
+        out = None
+        for p, (c, cp) in enumerate(zip(self.children, params["children"])):
+            dp = c.diag(cp, x) * m[..., p]
+            out = dp if out is None else out + dp
+        return out
+
+    def __str__(self):
+        return "Part(" + ", ".join(str(c) for c in self.children) + ")"
+
+
+jax.tree_util.register_static(DistancePartitioning)
+jax.tree_util.register_static(BoxPartitioning)
+
+PARTITIONING_REGISTRY = {
+    "DistancePartitioning": DistancePartitioning,
+    "BoxPartitioning": BoxPartitioning,
+}
+
+
+def partitioning_to_dict(m: PartitioningModel) -> dict:
+    d = {"type": type(m).__name__}
+    for f in dataclasses.fields(m):
+        d[f.name] = getattr(m, f.name)
+    return d
+
+
+def partitioning_from_dict(d: dict) -> PartitioningModel:
+    d = dict(d)
+    cls = PARTITIONING_REGISTRY[d.pop("type")]
+    # JSON round-trips tuples as lists; restore hashable tuples
+    for k, v in d.items():
+        if isinstance(v, list):
+            d[k] = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+    return cls(**d)

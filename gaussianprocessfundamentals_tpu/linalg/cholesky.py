@@ -1,0 +1,97 @@
+"""Cholesky-based GP linear algebra: log marginal likelihood + posterior.
+
+Replaces the reference's ``CovarianceMatrix`` cache hierarchy
+(``main/gpbasics/Statistics/CovarianceMatrix.py:21-286``) and
+``AuxiliaryGpProperties`` (``Statistics/Auxiliary.py:14-107``). Under jit the
+memoize/reset machinery is unnecessary — XLA CSEs repeated subexpressions — so
+these are plain pure functions. Two reference defects are fixed by design:
+
+  * posterior variance uses a triangular **solve**, not an explicit
+    ``tf.linalg.inv`` (reference ``CovarianceMatrix.py:267-275``);
+  * α is computed by two triangular solves (reference does this right,
+    ``CovarianceMatrix.py:256-265``) and never via ``inv(K)``.
+
+All functions support leading batch dimensions (the reference's
+"instance-stacked" batched GPs). ``y`` is a vector ``[..., n]``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+LOG_2PI = 1.8378770664093453
+
+
+def add_diag(K: jnp.ndarray, v) -> jnp.ndarray:
+    """K + v·I along the trailing square dims (v scalar or [..., n])."""
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    v = jnp.asarray(v, K.dtype)
+    return K + v[..., None, None] * eye if v.ndim else K + v * eye
+
+
+def noised(K: jnp.ndarray, noise, jitter: float) -> jnp.ndarray:
+    """K + (σ² + jitter)·I — reference adds σ²·I (``CovarianceMatrix.py:197-206``)
+    with jitter 1e-8 on every diagonal (``global_parameters.py:45``)."""
+    return add_diag(K, jnp.asarray(noise, K.dtype) + jnp.asarray(jitter, K.dtype))
+
+
+class CholState(NamedTuple):
+    """Everything downstream of one factorisation (the reference caches these
+    as named matrices K/L_K/L_alpha on ``CovarianceMatrix``)."""
+
+    L: jnp.ndarray  # lower Cholesky factor of K + (σ²+jitter)I
+    alpha: jnp.ndarray  # (K+σ²I)⁻¹ y, via two triangular solves
+    logdet: jnp.ndarray  # log|K+σ²I| = 2·Σ log diag L
+
+
+def factor(K: jnp.ndarray, y: jnp.ndarray, noise, jitter: float) -> CholState:
+    L = jnp.linalg.cholesky(noised(K, noise, jitter))
+    z = solve_triangular(L, y[..., None], lower=True)
+    alpha = solve_triangular(L, z, lower=True, trans=1)[..., 0]
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return CholState(L, alpha, logdet)
+
+
+def mll_from_state(state: CholState, y: jnp.ndarray) -> jnp.ndarray:
+    """Log marginal likelihood −½yᵀα − ½log|K| − (n/2)·log 2π
+    (decomposition as in reference ``Metrics/LogLikelihood.py:37-49``)."""
+    n = y.shape[-1]
+    data_fit = -0.5 * jnp.sum(y * state.alpha, axis=-1)
+    complexity = -0.5 * state.logdet
+    norm = -0.5 * n * LOG_2PI
+    return data_fit + complexity + norm
+
+
+def mll(K: jnp.ndarray, y: jnp.ndarray, noise, jitter: float) -> jnp.ndarray:
+    return mll_from_state(factor(K, y, noise, jitter), y)
+
+
+def nll(K: jnp.ndarray, y: jnp.ndarray, noise, jitter: float) -> jnp.ndarray:
+    """Negative log marginal likelihood — the reference's minimisation form
+    (``LogLikelihood.py:65`` returns ``-log_likelihood``)."""
+    return -mll(K, y, noise, jitter)
+
+
+def posterior_mean(state: CholState, K_s: jnp.ndarray) -> jnp.ndarray:
+    """μ* = K_sᵀ α (reference ``Statistics/Auxiliary.py:68-81``);
+    K_s: [..., n_train, n_test] → [..., n_test]."""
+    return jnp.einsum("...nt,...n->...t", K_s, state.alpha)
+
+
+def posterior_cov(
+    state: CholState, K_s: jnp.ndarray, K_ss: jnp.ndarray, jitter: float = 0.0
+) -> jnp.ndarray:
+    """Σ* = K_ss − vᵀv with v = L⁻¹K_s (reference ``Auxiliary.py:57-93``,
+    explicit-inverse defect fixed)."""
+    v = solve_triangular(state.L, K_s, lower=True)
+    cov = K_ss - jnp.einsum("...nt,...ns->...ts", v, v)
+    return add_diag(cov, jitter) if jitter else cov
+
+
+def posterior_var(state: CholState, K_s: jnp.ndarray, K_ss_diag: jnp.ndarray) -> jnp.ndarray:
+    """Marginal posterior variances without forming the full test covariance."""
+    v = solve_triangular(state.L, K_s, lower=True)
+    return K_ss_diag - jnp.sum(v * v, axis=-2)

@@ -1,0 +1,90 @@
+"""Structured Kernel Interpolation (SKI): K̂ = W·K_mm·Wᵀ.
+
+Reference: ``main/gpbasics/Metrics/StructuredKernelInterpolation.py:12-62`` —
+interpolation weights W are inverse-distance weights over each point's two
+nearest inducing points (``:12-49``), and the approximate log-det scales
+eigenvalues of K_mm by (n/m) (``:52-62``).
+
+TPU-native formulation: the inducing grid is sorted and equispaced along
+x[:, 0], so the two neighbours come from ``searchsorted`` (no O(n·m) distance
+matrix) and W is represented *sparsely* as (indices, weights) pairs — matvecs
+with K̂ are gather/scatter + an m×m matmul, O(n + m²) per matvec.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gaussianprocessfundamentals_tpu.linalg.cholesky import add_diag
+
+
+class SKIState(NamedTuple):
+    idx: jnp.ndarray  # [n, 2] neighbour indices into the inducing grid
+    w: jnp.ndarray  # [n, 2] interpolation weights (rows sum to 1)
+    K_mm: jnp.ndarray  # [m, m] inducing Gram
+
+
+def ski_interp(x: jnp.ndarray, grid: jnp.ndarray):
+    """Two-nearest inverse-distance interpolation of x[:, 0] onto a sorted 1-D
+    grid (reference weights ``StructuredKernelInterpolation.py:24-49``)."""
+    g = grid[:, 0]
+    m = g.shape[0]
+    x0 = x[:, 0]
+    hi = jnp.clip(jnp.searchsorted(g, x0), 1, m - 1)
+    lo = hi - 1
+    d_lo = jnp.abs(x0 - g[lo])
+    d_hi = jnp.abs(g[hi] - x0)
+    total = jnp.where(d_lo + d_hi > 0, d_lo + d_hi, 1.0)
+    w_lo = jnp.where(d_lo + d_hi > 0, d_hi / total, 0.5)
+    idx = jnp.stack([lo, hi], axis=-1)
+    w = jnp.stack([w_lo, 1.0 - w_lo], axis=-1)
+    return idx, w
+
+
+def ski_factor(kernel, params, x: jnp.ndarray, grid: jnp.ndarray) -> SKIState:
+    idx, w = ski_interp(x, grid)
+    K_mm = kernel.gram(params, grid, grid)
+    return SKIState(idx, w, K_mm)
+
+
+def ski_matvec(state: SKIState, noise, v: jnp.ndarray) -> jnp.ndarray:
+    """(W K_mm Wᵀ + σ²I)·v in O(n + m²)."""
+    m = state.K_mm.shape[0]
+    # Wᵀ v: scatter-add of weighted v into grid bins
+    wt_v = jnp.zeros((m,), v.dtype).at[state.idx.reshape(-1)].add(
+        (state.w * v[:, None]).reshape(-1)
+    )
+    u = state.K_mm @ wt_v
+    # W u: gather
+    Wu = jnp.sum(state.w * u[state.idx], axis=-1)
+    return Wu + noise * v
+
+
+def ski_logdet_approx(state: SKIState, n: int, noise) -> jnp.ndarray:
+    """Approximate log|W K_mm Wᵀ + σ²I| by scaling K_mm eigenvalues by n/m
+    (reference ``StructuredKernelInterpolation.py:52-62``)."""
+    m = state.K_mm.shape[0]
+    eig = jnp.linalg.eigvalsh(add_diag(state.K_mm, 1e-12))
+    scaled = jnp.maximum(eig * (n / m), 0.0)
+    return jnp.sum(jnp.log(scaled + noise))
+
+
+def ski_mll(kernel, params, x, y, grid, noise, jitter: float,
+            cg_tol: float = 1e-6) -> jnp.ndarray:
+    """SKI log marginal likelihood: CG solve against the structured matvec +
+    the eigenvalue-scaled log-det (matches the reference's SKI strategy wiring,
+    ``Metrics/Metrics.py:95-107``)."""
+    from gaussianprocessfundamentals_tpu.linalg.cg import cg_solve
+    from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
+
+    n = x.shape[0]
+    state = ski_factor(kernel, params, x, grid)
+    sigma2 = jnp.asarray(noise, x.dtype) + jitter
+    alpha = cg_solve(lambda v: ski_matvec(state, sigma2, v), y, tol=cg_tol,
+                     max_iters=4 * n)
+    return (
+        -0.5 * jnp.sum(y * alpha)
+        - 0.5 * ski_logdet_approx(state, n, sigma2)
+        - 0.5 * n * LOG_2PI
+    )

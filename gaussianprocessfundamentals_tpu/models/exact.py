@@ -1,0 +1,194 @@
+"""Exact GP regression: functional core + a facade mirroring the reference.
+
+Reference: ``main/gpbasics/Statistics/GaussianProcess.py:20-137``
+(``AbstractGaussianProcess.predict`` returns the triple
+(mean_mu + posterior_mu, mean_mu, posterior_mu), ``:42-85``; prior/posterior
+sampling ``:87-110``) and ``Statistics/Auxiliary.py`` for the posterior math.
+The functional layer is what jits/shards; the :class:`GaussianProcess` class
+is a thin stateful convenience wrapper in the reference's shape.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from gaussianprocessfundamentals_tpu.config import DEFAULT_CONFIG, GPConfig
+from gaussianprocessfundamentals_tpu.fit.fit import FitResult, fit as _fit
+from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+from gaussianprocessfundamentals_tpu.means.functions import MeanFunction, ZeroMean
+
+
+class Posterior(NamedTuple):
+    """Posterior moments at the test inputs (already including the mean
+    function, i.e. the reference's "full" μ)."""
+
+    mean: jnp.ndarray  # [..., m]
+    var: jnp.ndarray  # [..., m] marginal variances
+    sd: jnp.ndarray  # [..., m]
+    mean_fn_mu: jnp.ndarray  # mean-function contribution (reference's 2nd output)
+    posterior_mu: jnp.ndarray  # GP residual posterior (reference's 3rd output)
+
+
+@partial(jax.jit, static_argnames=("kernel", "mean", "full_cov"))
+def posterior(
+    kernel,
+    kernel_params: Any,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    x_test: jnp.ndarray,
+    noise,
+    jitter: float = DEFAULT_CONFIG.jitter,
+    mean: Optional[MeanFunction] = None,
+    mean_params: Any = None,
+    full_cov: bool = False,
+):
+    """Posterior moments. Detrends y by the mean function (reference
+    ``DataInput.get_detrended_y_train``, ``DataHandling/DataInput.py:77-124``),
+    computes μ* = K_sᵀα and Σ* = K_ss − vᵀv via triangular solves, and re-adds
+    the mean at test inputs."""
+    mean = mean if mean is not None else ZeroMean(dim=x_train.shape[-1])
+    mean_params = mean_params if mean_params is not None else {}
+    resid = y_train - mean.mean(mean_params, x_train)
+
+    K = kernel.gram(kernel_params, x_train, x_train)
+    state = chol.factor(K, resid, noise, jitter)
+    K_s = kernel.gram(kernel_params, x_train, x_test)
+
+    post_mu = chol.posterior_mean(state, K_s)
+    mean_mu = mean.mean(mean_params, x_test)
+    if full_cov:
+        K_ss = kernel.gram(kernel_params, x_test, x_test)
+        cov = chol.posterior_cov(state, K_s, K_ss)
+        var = jnp.diagonal(cov, axis1=-2, axis2=-1)
+        sd = jnp.sqrt(jnp.maximum(var, 0.0))
+        return Posterior(mean_mu + post_mu, var, sd, mean_mu, post_mu), cov
+    K_ss_diag = kernel.diag(kernel_params, x_test)
+    var = chol.posterior_var(state, K_s, K_ss_diag)
+    var = jnp.maximum(var, 0.0)
+    return Posterior(mean_mu + post_mu, var, jnp.sqrt(var), mean_mu, post_mu)
+
+
+@partial(jax.jit, static_argnames=("kernel", "num_samples"))
+def sample_prior(
+    kernel,
+    kernel_params: Any,
+    x: jnp.ndarray,
+    key,
+    num_samples: int = 1,
+    jitter: float = DEFAULT_CONFIG.jitter,
+):
+    """f ~ N(0, K(x,x)); reference ``GaussianProcess.py:87-95`` (chol·N(0,I))."""
+    K = kernel.gram(kernel_params, x, x)
+    L = jnp.linalg.cholesky(chol.add_diag(K, jitter))
+    z = jr.normal(key, (num_samples, x.shape[-2]), x.dtype)
+    return jnp.einsum("nm,sm->sn", L, z)
+
+
+def sample_posterior(
+    kernel,
+    kernel_params: Any,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    x_test: jnp.ndarray,
+    noise,
+    key,
+    num_samples: int = 1,
+    jitter: float = DEFAULT_CONFIG.jitter,
+    mean: Optional[MeanFunction] = None,
+    mean_params: Any = None,
+):
+    """f* ~ N(μ*, Σ*) via chol(Σ* + jitter·I)·N(0,I)
+    (reference ``GaussianProcess.py:97-110``)."""
+    post, cov = posterior(
+        kernel, kernel_params, x_train, y_train, x_test, noise, jitter,
+        mean, mean_params, full_cov=True,
+    )
+    L = jnp.linalg.cholesky(chol.add_diag(cov, jitter))
+    z = jr.normal(key, (num_samples, x_test.shape[-2]), x_test.dtype)
+    return post.mean + jnp.einsum("nm,sm->sn", L, z)
+
+
+@dataclasses.dataclass
+class GaussianProcess:
+    """Stateful facade in the reference's shape (``GaussianProcess.py:116-125``):
+    holds kernel + mean + fitted params, exposes fit/predict/sample."""
+
+    kernel: Any
+    mean: Optional[MeanFunction] = None
+    config: GPConfig = DEFAULT_CONFIG
+    kernel_params: Any = None
+    mean_params: Any = None
+    noise: Any = None
+    x_train: Any = None
+    y_train: Any = None
+
+    def __post_init__(self):
+        if self.mean is None:
+            self.mean = ZeroMean()
+
+    def set_data(self, x_train, y_train):
+        self.x_train, self.y_train = x_train, y_train
+        return self
+
+    def fit(self, x_train=None, y_train=None, **kwargs) -> FitResult:
+        if x_train is not None:
+            self.set_data(x_train, y_train)
+        res = _fit(
+            self.kernel, self.x_train, self.y_train,
+            mean=self.mean, config=self.config, **kwargs,
+        )
+        self.kernel_params, self.mean_params = res.kernel_params, res.mean_params
+        self.noise = res.noise
+        return res
+
+    def _ensure_params(self):
+        if self.kernel_params is None:
+            xr = jnp.stack(
+                [self.x_train.min(axis=0), self.x_train.max(axis=0)], axis=-1
+            )
+            n = self.x_train.shape[0]
+            self.kernel_params = self.kernel.init_params(xr, n, dtype=self.x_train.dtype)
+            self.mean_params = self.mean.init_params(xr, n, dtype=self.x_train.dtype)
+        if self.noise is None:
+            # reference: predict-time noise defaults to the jitter
+            # (GaussianProcess.py:48-49)
+            self.noise = jnp.asarray(self.config.jitter, self.x_train.dtype)
+
+    def posterior(self, x_test, full_cov: bool = False):
+        self._ensure_params()
+        return posterior(
+            self.kernel, self.kernel_params, self.x_train, self.y_train, x_test,
+            self.noise, self.config.jitter, self.mean, self.mean_params,
+            full_cov=full_cov,
+        )
+
+    def predict(self, x_test):
+        """Reference-compatible triple: (full μ, mean-function μ, posterior μ)
+        (``GaussianProcess.py:42-85``)."""
+        post = self.posterior(x_test)
+        return post.mean, post.mean_fn_mu, post.posterior_mu
+
+    def sample_prior(self, x, key, num_samples: int = 1):
+        self._ensure_params()
+        return sample_prior(
+            self.kernel, self.kernel_params, x, key, num_samples, self.config.jitter
+        )
+
+    def sample_posterior(self, x_test, key, num_samples: int = 1):
+        self._ensure_params()
+        return sample_posterior(
+            self.kernel, self.kernel_params, self.x_train, self.y_train, x_test,
+            self.noise, key, num_samples, self.config.jitter,
+            self.mean, self.mean_params,
+        )
+
+    def log_marginal_likelihood(self) -> jnp.ndarray:
+        self._ensure_params()
+        resid = self.y_train - self.mean.mean(self.mean_params, self.x_train)
+        K = self.kernel.gram(self.kernel_params, self.x_train, self.x_train)
+        return chol.mll(K, resid, self.noise, self.config.jitter)

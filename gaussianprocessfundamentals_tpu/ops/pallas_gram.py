@@ -1,0 +1,179 @@
+"""Pallas TPU kernels for tiled Gram-matrix construction.
+
+TPU-native replacement for the reference's Gram build
+(``main/gpbasics/KernelBasics/BaseKernels.py:277-294`` SE path): one fused
+kernel per [bm, bn] tile computes squared distances via the matmul expansion
+(MXU), applies the covariance transcendental (VPU), and adds noise/jitter on
+diagonal tiles — K + σ²I is produced in a single pass with no [n, m]
+intermediate distance matrix and no separate diagonal update (saving two full
+HBM round-trips over the unfused XLA path).
+
+Row norms and x2ᵀ are precomputed outside (O(n·d), negligible) so tiles need
+only MXU-shaped operands: x1 [bm, d] · x2ᵀ [d, bn].
+
+These kernels are f32 (TPU-native precision). The f64 path (reference parity)
+uses the XLA builder in :mod:`..kernels`; SURVEY.md §7 "hard parts" #2.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BM = 512
+BN = 512
+
+
+def _se_tile_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, scal_ref, out_ref):
+    """One [BM, BN] tile of variance·exp(−½d²/ℓ²) (+ diag σ²+jitter)."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32)
+    d2 = n1_ref[:] - 2.0 * ab + n2_ref[:]
+    d2 = jnp.maximum(d2, 0.0)
+    ls = scal_ref[0]
+    var = scal_ref[1]
+    diag = scal_ref[2]
+    k = var * jnp.exp(-0.5 * d2 / (ls * ls))
+
+    @pl.when(jnp.logical_and(diag > 0.0, i == j))
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1)
+        out_ref[:] = k + jnp.where(rows == cols, diag, 0.0)
+
+    @pl.when(jnp.logical_not(jnp.logical_and(diag > 0.0, i == j)))
+    def _():
+        out_ref[:] = k
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def se_gram(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    lengthscale,
+    variance=1.0,
+    diag_add=0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused SE Gram K = var·exp(−½‖x1−x2‖²/ℓ²) (+ diag_add·I on the diagonal
+    when x1 is x2), tiled [BM, BN]. f32; x: [n, d], [m, d] → [n, m].
+
+    ``diag_add`` fuses the reference's separate K → K_noised pass
+    (``Statistics/CovarianceMatrix.py:197-206``) into the Gram build.
+    """
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    n, d = x1.shape
+    m = x2.shape[0]
+    x2t = x2.T  # [d, m]
+    n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # [n, 1]
+    n2 = jnp.sum(x2 * x2, axis=-1)[None, :]  # [1, m]
+    scal = jnp.stack(
+        [
+            jnp.asarray(lengthscale, jnp.float32),
+            jnp.asarray(variance, jnp.float32),
+            jnp.asarray(diag_add, jnp.float32),
+        ]
+    )
+    grid = (pl.cdiv(n, BM), pl.cdiv(m, BN))
+    return pl.pallas_call(
+        _se_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * d + 6 * n * m,
+            bytes_accessed=4 * (n * d + m * d + n * m),
+            transcendentals=n * m,
+        ),
+        interpret=interpret,
+    )(x1, x2t, n1, n2, scal)
+
+
+def _matern_tile_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, scal_ref, out_ref, *, sqrt_c, d2_term):
+    i, j = pl.program_id(0), pl.program_id(1)
+    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
+    dist = jnp.sqrt(d2)
+    ls = scal_ref[0]
+    var = scal_ref[1]
+    diag = scal_ref[2]
+    frac = sqrt_c * dist / ls
+    poly = 1.0 + frac
+    if d2_term:
+        poly = poly + 5.0 * d2 / (3.0 * ls * ls)
+    k = var * poly * jnp.exp(-frac)
+
+    @pl.when(jnp.logical_and(diag > 0.0, i == j))
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1)
+        out_ref[:] = k + jnp.where(rows == cols, diag, 0.0)
+
+    @pl.when(jnp.logical_not(jnp.logical_and(diag > 0.0, i == j)))
+    def _():
+        out_ref[:] = k
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "interpret"))
+def matern_gram(
+    x1, x2, lengthscale, variance=1.0, diag_add=0.0, nu: str = "52",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Matérn-3/2 or -5/2 Gram tile kernel (Euclidean distance form;
+    the reference's Manhattan variant coincides for d=1). f32."""
+    import math
+
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    n, d = x1.shape
+    m = x2.shape[0]
+    sqrt_c = math.sqrt(3.0) if nu == "32" else math.sqrt(5.0)
+    kernel = functools.partial(
+        _matern_tile_kernel, sqrt_c=sqrt_c, d2_term=(nu == "52")
+    )
+    x2t = x2.T
+    n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+    n2 = jnp.sum(x2 * x2, axis=-1)[None, :]
+    scal = jnp.stack(
+        [
+            jnp.asarray(lengthscale, jnp.float32),
+            jnp.asarray(variance, jnp.float32),
+            jnp.asarray(diag_add, jnp.float32),
+        ]
+    )
+    grid = (pl.cdiv(n, BM), pl.cdiv(m, BN))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * d + 10 * n * m,
+            bytes_accessed=4 * (n * d + m * d + n * m),
+            transcendentals=2 * n * m,
+        ),
+        interpret=interpret,
+    )(x1, x2t, n1, n2, scal)
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"

@@ -1,0 +1,64 @@
+"""Data-layer tests (reference ``DataHandling/``)."""
+import numpy as np
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.data.datasets import DataInput, MinMaxNormalization
+from gaussianprocessfundamentals_tpu.objectives.metrics import kfold_indices
+
+
+def test_minmax_roundtrip():
+    v = np.array([[1.0, -2.0], [3.0, 4.0], [2.0, 0.0]])
+    nz = MinMaxNormalization.fit(v)
+    w = nz.normalize(v)
+    assert w.min() == 0.0 and w.max() == 1.0
+    np.testing.assert_allclose(nz.denormalize(w), v, atol=1e-12)
+
+
+def test_datainput_split_and_ranges():
+    x = np.linspace(0, 10, 100)
+    y = np.sin(x)
+    di = DataInput.from_arrays(x, y, test_ratio=0.2, seed=0)
+    assert di.x_train.shape == (80, 1) and di.x_test.shape == (20, 1)
+    xr = np.asarray(di.xrange())
+    assert xr.shape == (1, 2) and xr[0, 0] >= 0.0 and xr[0, 1] <= 1.0  # normalized
+    assert di.n_inducing() == 20  # max(20, 0.1·80)
+
+
+def test_no_split_means_test_equals_train():
+    di = DataInput.from_arrays(np.arange(10.0), np.arange(10.0), test_ratio=0.0)
+    np.testing.assert_allclose(np.asarray(di.x_train), np.asarray(di.x_test))
+
+
+def test_subsets():
+    di = DataInput.from_arrays(np.arange(100.0), np.arange(100.0), test_ratio=0.0)
+    assert di.subset_random(30).n_train == 30
+    sg = di.subset_grid(30)
+    assert sg.n_train == 30
+    # grid subset keeps order and endpoints
+    xg = np.asarray(sg.x_train[:, 0])
+    assert xg[0] == di.x_train[0, 0] and xg[-1] == di.x_train[-1, 0]
+
+
+def test_changepoint_split():
+    x = np.linspace(0, 1, 50)
+    di = DataInput.from_arrays(x, x, test_ratio=0.2, normalize_x=False, normalize_y=False)
+    segs = di.split_at_changepoints([0.5])
+    assert len(segs) == 2
+    total = sum(s.n_train for s in segs)
+    assert total == di.n_train
+    assert np.all(np.asarray(segs[0].x_train[:, 0]) < 0.5)
+    assert np.all(np.asarray(segs[1].x_train[:, 0]) >= 0.5)
+
+
+def test_named_dataset_synthetic_fallback():
+    di = gpf.load_named("mauna_loa")
+    assert di.n_train > 100 and di.x_train.shape[1] == 1
+
+
+def test_kfold(key):
+    folds = kfold_indices(50, 5, key)
+    assert len(folds) == 5
+    all_test = np.sort(np.concatenate([t for _, t in folds]))
+    np.testing.assert_array_equal(all_test, np.arange(50))
+    for train, test in folds:
+        assert len(np.intersect1d(train, test)) == 0

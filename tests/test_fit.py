@@ -1,0 +1,98 @@
+"""Fitting-loop tests: NLL decreases, known hyperparameters are recovered on
+synthetic data, noise optimisation and restarts work (SURVEY.md §4.3)."""
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.fit.fit import fit, make_nll, init_uparams
+from gaussianprocessfundamentals_tpu.fit.transforms import constrain, unconstrain
+
+
+def _data(n=200, ls=0.2, noise_sd=0.05, seed=0):
+    x, y = gpf.synth_se(n=n, lengthscale=ls, noise_sd=noise_sd, seed=seed)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_transform_roundtrip():
+    k = gpf.SquaredExponentialKernel(scaled=True) + gpf.PeriodicKernel()
+    p = k.init_params([[0.0, 1.0]], 10)
+    pos = k.positivity()
+    p2 = constrain(pos, unconstrain(pos, p))
+    import jax
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7),
+        p, p2,
+    )
+
+
+@pytest.mark.parametrize("method", ["adam", "lbfgs"])
+def test_fit_decreases_nll(method):
+    x, y = _data(120)
+    res = fit(
+        gpf.SquaredExponentialKernel(), x, y,
+        method=method, optimize_noise=True, steps=150,
+    )
+    assert np.isfinite(res.nll_post)
+    assert res.nll_post < res.nll_pre
+
+
+def test_fit_recovers_lengthscale_and_noise():
+    x, y = _data(300, ls=0.2, noise_sd=0.1, seed=1)
+    res = fit(
+        gpf.SquaredExponentialKernel(scaled=True), x, y,
+        method="lbfgs", optimize_noise=True,
+    )
+    ls = float(res.kernel_params["lengthscale"])
+    noise = float(res.noise)
+    # optimizer-tolerance parity (converged optima, not exact draws)
+    assert 0.1 < ls < 0.4, ls
+    assert 0.005 < noise < 0.02, noise  # variance ≈ 0.1² = 0.01
+
+
+def test_fit_with_restarts_picks_best(key):
+    x, y = _data(100)
+    res = fit(
+        gpf.SquaredExponentialKernel(), x, y,
+        method="adam", steps=100, restarts=3, key=key, optimize_noise=True,
+    )
+    assert res.restart_losses is not None and res.restart_losses.shape == (4,)
+    finite = np.asarray(res.restart_losses)
+    assert res.nll_post <= np.nanmin(np.where(np.isfinite(finite), finite, np.inf)) + 1e-6
+
+
+def test_fit_composite_kernel():
+    x, y = _data(150)
+    k = gpf.SquaredExponentialKernel(scaled=True) + gpf.WhiteNoiseKernel(scaled=True)
+    res = fit(k, x, y, method="lbfgs")
+    assert np.isfinite(res.nll_post) and res.nll_post < res.nll_pre
+
+
+def test_gp_facade_fit_predict():
+    x, y = _data(150, seed=2)
+    gp = gpf.GaussianProcess(gpf.SquaredExponentialKernel(scaled=True))
+    res = gp.fit(x, y, optimize_noise=True)
+    assert np.isfinite(res.nll_post)
+    xs = jnp.linspace(0, 1, 50)[:, None]
+    full_mu, mean_mu, post_mu = gp.predict(xs)
+    assert full_mu.shape == (50,)
+    post = gp.posterior(xs)
+    assert np.all(np.asarray(post.var) >= 0)
+    # prediction should interpolate the training data reasonably
+    full_tr, _, _ = gp.predict(x)
+    assert float(jnp.mean((full_tr - y) ** 2)) < 0.05
+
+
+def test_nll_grad_is_finite():
+    import jax
+
+    x, y = _data(80)
+    k = gpf.SquaredExponentialKernel() * gpf.PeriodicKernel() + gpf.Matern52Kernel()
+    nll_fn = make_nll(k, gpf.ZeroMean(), x, y, optimize_noise=True)
+    u0 = init_uparams(k, gpf.ZeroMean(), [[0.0, 1.0]], 80, optimize_noise=True, dtype=x.dtype)
+    val, g = jax.value_and_grad(nll_fn)(u0)
+    assert np.isfinite(val)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))

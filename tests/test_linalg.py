@@ -1,0 +1,111 @@
+"""Numerical-equivalence tests for the linear-algebra core against NumPy/SciPy
+f64 oracles (SURVEY.md §4.1/4.3)."""
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+from gaussianprocessfundamentals_tpu.linalg.cg import cg_solve_dense
+
+
+def _problem(n=30, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 1, (n, 1)), axis=0)
+    d2 = (x - x.T) ** 2
+    K = np.exp(-0.5 * d2 / 0.04)
+    y = rng.standard_normal(n)
+    return x, K, y
+
+
+def test_nll_matches_direct():
+    _, K, y = _problem()
+    noise, jitter = 0.1, 1e-8
+    Kn = K + (noise + jitter) * np.eye(len(y))
+    sign, logdet = np.linalg.slogdet(Kn)
+    expected = -(
+        -0.5 * y @ np.linalg.solve(Kn, y)
+        - 0.5 * logdet
+        - 0.5 * len(y) * np.log(2 * np.pi)
+    )
+    got = float(chol.nll(jnp.asarray(K), jnp.asarray(y), noise, jitter))
+    np.testing.assert_allclose(got, expected, rtol=3e-8)
+
+
+def test_factor_alpha_and_logdet():
+    _, K, y = _problem()
+    st = chol.factor(jnp.asarray(K), jnp.asarray(y), 0.05, 1e-8)
+    Kn = K + (0.05 + 1e-8) * np.eye(len(y))
+    np.testing.assert_allclose(np.asarray(st.alpha), np.linalg.solve(Kn, y), rtol=1e-8)
+    np.testing.assert_allclose(float(st.logdet), np.linalg.slogdet(Kn)[1], rtol=3e-8)
+
+
+def test_posterior_matches_textbook():
+    rng = np.random.default_rng(1)
+    x, K, y = _problem(40)
+    xs = np.linspace(0, 1, 15)[:, None]
+    d2s = (x - xs.T) ** 2
+    Ks = np.exp(-0.5 * d2s / 0.04)
+    d2ss = (xs - xs.T) ** 2
+    Kss = np.exp(-0.5 * d2ss / 0.04)
+    noise = 0.1
+    Kn = K + noise * np.eye(len(y))
+    mu_expected = Ks.T @ np.linalg.solve(Kn, y)
+    cov_expected = Kss - Ks.T @ np.linalg.solve(Kn, Ks)
+
+    st = chol.factor(jnp.asarray(K), jnp.asarray(y), noise, 0.0)
+    mu = chol.posterior_mean(st, jnp.asarray(Ks))
+    cov = chol.posterior_cov(st, jnp.asarray(Ks), jnp.asarray(Kss))
+    var = chol.posterior_var(st, jnp.asarray(Ks), jnp.asarray(np.diag(Kss)))
+    np.testing.assert_allclose(np.asarray(mu), mu_expected, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov), cov_expected, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.diag(cov_expected), atol=1e-8)
+
+
+def test_batched_factor():
+    _, K1, y1 = _problem(20, seed=0)
+    _, K2, y2 = _problem(20, seed=1)
+    Kb = jnp.stack([jnp.asarray(K1), jnp.asarray(K2)])
+    yb = jnp.stack([jnp.asarray(y1), jnp.asarray(y2)])
+    nll_b = np.asarray(chol.nll(Kb, yb, 0.1, 1e-8))
+    for i, (K, y) in enumerate([(K1, y1), (K2, y2)]):
+        np.testing.assert_allclose(
+            nll_b[i], float(chol.nll(jnp.asarray(K), jnp.asarray(y), 0.1, 1e-8)),
+            rtol=3e-8,
+        )
+
+
+def test_cg_matches_direct_solve():
+    _, K, y = _problem(50)
+    A = K + 0.5 * np.eye(50)
+    x_direct = np.linalg.solve(A, y)
+    x_cg = np.asarray(cg_solve_dense(jnp.asarray(A), jnp.asarray(y), tol=1e-10, max_iters=500))
+    np.testing.assert_allclose(x_cg, x_direct, atol=1e-6)
+
+
+def test_gp_end_to_end_posterior_matches_oracle():
+    """Full-stack parity: GaussianProcess posterior vs a NumPy oracle with
+    identical jitter/noise conventions (the 1e-3 north-star check at f64)."""
+    rng = np.random.default_rng(3)
+    n = 60
+    x = np.sort(rng.uniform(0, 1, (n, 1)), axis=0)
+    y = np.sin(6 * x[:, 0]) + 0.05 * rng.standard_normal(n)
+    xs = np.linspace(0, 1, 25)[:, None]
+    ls, noise, jitter = 0.15, 0.01, 1e-8
+
+    gp = gpf.GaussianProcess(gpf.SquaredExponentialKernel())
+    gp.set_data(jnp.asarray(x), jnp.asarray(y))
+    gp.kernel_params = {"lengthscale": jnp.asarray(ls)}
+    gp.mean_params = {}
+    gp.noise = noise
+    post = gp.posterior(jnp.asarray(xs))
+
+    d2 = (x - x.T) ** 2
+    K = np.exp(-0.5 * d2 / ls**2)
+    Ks = np.exp(-0.5 * (x - xs.T) ** 2 / ls**2)
+    Kss = np.exp(-0.5 * (xs - xs.T) ** 2 / ls**2)
+    Kn = K + (noise + jitter) * np.eye(n)
+    mu_o = Ks.T @ np.linalg.solve(Kn, y)
+    var_o = np.diag(Kss - Ks.T @ np.linalg.solve(Kn, Ks))
+    np.testing.assert_allclose(np.asarray(post.mean), mu_o, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(post.var), var_o, atol=1e-6)
