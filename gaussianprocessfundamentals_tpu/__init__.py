@@ -58,6 +58,24 @@ from gaussianprocessfundamentals_tpu.models.exact import (
     sample_prior,
 )
 from gaussianprocessfundamentals_tpu.fit.fit import FitResult, fit, make_nll
+from gaussianprocessfundamentals_tpu.kernels.partition import (
+    BoxPartitioning,
+    DistancePartitioning,
+    Partition,
+)
+from gaussianprocessfundamentals_tpu.models.segmented import (
+    BlockwiseGP,
+    PartitionedGP,
+)
+from gaussianprocessfundamentals_tpu.models.svgp import (
+    SVGPParams,
+    collapsed_elbo,
+    fit_svgp,
+    svgp_elbo,
+    svgp_predict,
+)
+from gaussianprocessfundamentals_tpu.mcmc.hmc import hmc, hmc_chains
+from gaussianprocessfundamentals_tpu.mcmc.nuts import nuts, nuts_chains
 from gaussianprocessfundamentals_tpu.data.datasets import (
     DataInput,
     MinMaxNormalization,

@@ -171,11 +171,10 @@ def effective_sample_size(x: jnp.ndarray, max_lag: int = 100) -> jnp.ndarray:
     c, s = x.shape
     xc = x - x.mean(axis=1, keepdims=True)
     var = (xc * xc).mean()
-
-    def rho(lag):
-        return jnp.mean(xc[:, : s - lag] * xc[:, lag:]) / var
-
-    lags = jnp.arange(1, max_lag)
-    rhos = jax.vmap(rho)(lags)
+    max_lag = min(max_lag, s - 1)
+    # static python loop: lags must be static for slicing
+    rhos = jnp.stack(
+        [jnp.mean(xc[:, : s - lag] * xc[:, lag:]) / var for lag in range(1, max_lag)]
+    )
     rhos = jnp.where(rhos > 0, rhos, 0.0)
     return c * s / (1.0 + 2.0 * jnp.sum(rhos))

@@ -1,0 +1,364 @@
+"""No-U-Turn Sampler (iterative, multinomial), jit-compatible.
+
+BASELINE config 3 requires NUTS over kernel hyperparameters with chains
+sharded per chip. The reference has no MCMC at all (SURVEY.md §0). This is the
+iterative formulation (Hoffman & Gelman 2014, with multinomial progressive
+sampling per Betancourt 2017), implemented with static-shape state so it
+compiles under ``jit``/``vmap``:
+
+  * positions are flattened to one vector via ``ravel_pytree`` — dot products,
+    checkpoint stacks, and tree states are plain arrays;
+  * each doubling integrates 2^depth leapfrog steps in a ``fori_loop``;
+    sub-subtree U-turn checks use the binary-counter checkpoint scheme:
+    even leaf n stores its state at slot popcount(n); odd leaf n with t
+    trailing ones checks against slots [popcount(n)−t, popcount(n)−1]
+    (O(max_depth) memory, exactly the checks recursive NUTS performs);
+  * divergences terminate the doubling (energy error > 1000);
+  * warmup adapts the step size by dual averaging on the mean leaf
+    acceptance statistic.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax.flatten_util import ravel_pytree
+
+MAX_DELTA_ENERGY = 1000.0
+
+
+class NUTSResult(NamedTuple):
+    samples: Any  # pytree with leading [num_samples, ...]
+    accept_stat: jnp.ndarray  # [num_samples] mean leaf acceptance
+    step_size: jnp.ndarray
+    num_steps: jnp.ndarray  # [num_samples] leapfrog steps per draw
+    diverging: jnp.ndarray  # [num_samples] bool
+    log_probs: jnp.ndarray
+
+
+def _popcount(n):
+    def body(carry):
+        v, c = carry
+        return v >> 1, c + (v & 1)
+
+    _, c = jax.lax.while_loop(lambda vc: vc[0] > 0, body, (n, jnp.zeros_like(n)))
+    return c
+
+
+def _trailing_ones(n):
+    def body(carry):
+        v, c = carry
+        return v >> 1, c + 1
+
+    _, c = jax.lax.while_loop(
+        lambda vc: (vc[0] & 1) == 1, body, (n, jnp.zeros_like(n))
+    )
+    return c
+
+
+def _is_turning(q_l, p_l, q_r, p_r):
+    dq = q_r - q_l
+    return jnp.logical_or(jnp.dot(dq, p_l) < 0.0, jnp.dot(dq, p_r) < 0.0)
+
+
+def _nuts_kernel(logprob_grad_flat: Callable, max_depth: int):
+    """One NUTS transition over flat vectors."""
+
+    def leapfrog(q, p, g, eps):
+        p_half = p + 0.5 * eps * g
+        q_new = q + eps * p_half
+        lp_new, g_new = logprob_grad_flat(q_new)
+        p_new = p_half + 0.5 * eps * g_new
+        return q_new, p_new, g_new, lp_new
+
+    def transition(key, q0, lp0, g0, eps):
+        dim = q0.shape[0]
+        key_mom, key_dir, key_tree = jr.split(key, 3)
+        p0 = jr.normal(key_mom, (dim,), q0.dtype)
+        energy0 = lp0 - 0.5 * jnp.dot(p0, p0)  # log joint at start
+
+        # whole-trajectory state
+        # candidate sample (multinomial), tree log-weight, extremes
+        init = dict(
+            q_cand=q0, lp_cand=lp0,
+            logw_tree=jnp.zeros((), q0.dtype),  # relative to energy0
+            q_left=q0, p_left=p0, g_left=g0,
+            q_right=q0, p_right=p0, g_right=g0,
+            turning=jnp.asarray(False), diverging=jnp.asarray(False),
+            depth=jnp.asarray(0),
+            sum_accept=jnp.zeros((), q0.dtype),
+            n_leaves=jnp.zeros((), q0.dtype),
+        )
+
+        def build_subtree(key, state, direction, depth):
+            """Integrate 2^depth leaves outward in `direction`; returns
+            subtree candidate/logw/turning/diverging and new edge state."""
+            n_steps = jnp.asarray(1, jnp.int32) << depth
+            # edge to extend from
+            q_e = jnp.where(direction > 0, state["q_right"], state["q_left"])
+            p_e = jnp.where(direction > 0, state["p_right"], state["p_left"])
+            g_e = jnp.where(direction > 0, state["g_right"], state["g_left"])
+            eps_d = eps * direction
+
+            ck_q = jnp.zeros((max_depth + 1, dim), q0.dtype)
+            ck_p = jnp.zeros((max_depth + 1, dim), q0.dtype)
+
+            sub = dict(
+                q=q_e, p=p_e, g=g_e, lp=jnp.zeros((), q0.dtype),
+                q_cand=q_e, lp_cand=jnp.zeros((), q0.dtype),
+                logw=-jnp.inf * jnp.ones((), q0.dtype),
+                q_first=q_e, p_first=p_e,
+                turning=jnp.asarray(False), diverging=jnp.asarray(False),
+                ck_q=ck_q, ck_p=ck_p, key=key,
+                sum_accept=jnp.zeros((), q0.dtype),
+                n=jnp.zeros((), q0.dtype),
+            )
+
+            def leaf_body(i, sub):
+                def do(sub):
+                    q, p, g, lp = leapfrog(sub["q"], sub["p"], sub["g"], eps_d)
+                    logw_leaf = lp - 0.5 * jnp.dot(p, p) - energy0
+                    logw_leaf = jnp.where(
+                        jnp.isnan(logw_leaf), -jnp.inf, logw_leaf
+                    )
+                    diverging = logw_leaf < -MAX_DELTA_ENERGY
+                    accept = jnp.minimum(1.0, jnp.exp(logw_leaf))
+                    # progressive multinomial sampling within the subtree
+                    logw_new = jnp.logaddexp(sub["logw"], logw_leaf)
+                    key, sk = jr.split(sub["key"])
+                    take = jnp.log(jr.uniform(sk, (), q0.dtype)) < (
+                        logw_leaf - logw_new
+                    )
+                    q_cand = jnp.where(take, q, sub["q_cand"])
+                    lp_cand = jnp.where(take, lp, sub["lp_cand"])
+                    # record first leaf (subtree edge nearest the old tree)
+                    first = i == 0
+                    q_first = jnp.where(first, q, sub["q_first"])
+                    p_first = jnp.where(first, p, sub["p_first"])
+                    # binary-counter checkpoints + U-turn checks
+                    pc = _popcount(i)
+                    even = (i & 1) == 0
+                    ck_q = jax.lax.cond(
+                        even,
+                        lambda: sub["ck_q"].at[pc].set(q),
+                        lambda: sub["ck_q"],
+                    )
+                    ck_p = jax.lax.cond(
+                        even,
+                        lambda: sub["ck_p"].at[pc].set(p),
+                        lambda: sub["ck_p"],
+                    )
+
+                    def check_turns():
+                        t = _trailing_ones(i)
+                        idx_max = pc - 1
+                        idx_min = pc - t
+
+                        def scan_k(k, turning):
+                            valid = jnp.logical_and(k >= idx_min, k <= idx_max)
+                            turn_k = _is_turning(ck_q[k], ck_p[k], q, p)
+                            return jnp.logical_or(
+                                turning, jnp.logical_and(valid, turn_k)
+                            )
+
+                        return jax.lax.fori_loop(
+                            0, max_depth + 1, scan_k, jnp.asarray(False)
+                        )
+
+                    turning = jax.lax.cond(
+                        even, lambda: sub["turning"],
+                        lambda: jnp.logical_or(sub["turning"], check_turns()),
+                    )
+                    return dict(
+                        q=q, p=p, g=g, lp=lp,
+                        q_cand=q_cand, lp_cand=lp_cand, logw=logw_new,
+                        q_first=q_first, p_first=p_first,
+                        turning=turning,
+                        diverging=jnp.logical_or(sub["diverging"], diverging),
+                        ck_q=ck_q, ck_p=ck_p, key=key,
+                        sum_accept=sub["sum_accept"] + accept,
+                        n=sub["n"] + 1.0,
+                    )
+
+                stop = jnp.logical_or(sub["turning"], sub["diverging"])
+                return jax.lax.cond(stop, lambda s: s, do, sub)
+
+            sub = jax.lax.fori_loop(0, n_steps, leaf_body, sub)
+            return sub
+
+        def doubling_body(carry):
+            state, key = carry
+            key, kd, kt, km = jr.split(key, 4)
+            direction = jnp.where(
+                jr.uniform(kd, ()) < 0.5, jnp.asarray(-1.0, q0.dtype),
+                jnp.asarray(1.0, q0.dtype),
+            )
+            sub = build_subtree(kt, state, direction, state["depth"])
+            ok = jnp.logical_not(
+                jnp.logical_or(sub["turning"], sub["diverging"])
+            )
+            # biased progressive sampling between old tree and new subtree
+            accept_new = jnp.log(jr.uniform(km, (), q0.dtype)) < (
+                sub["logw"] - state["logw_tree"]
+            )
+            take = jnp.logical_and(ok, accept_new)
+            q_cand = jnp.where(take, sub["q_cand"], state["q_cand"])
+            lp_cand = jnp.where(take, sub["lp_cand"], state["lp_cand"])
+            logw_tree = jnp.where(
+                ok,
+                jnp.logaddexp(state["logw_tree"], sub["logw"]),
+                state["logw_tree"],
+            )
+            # update extremes only when subtree is valid
+            upd = lambda new, old: jnp.where(ok, new, old)
+            q_left = upd(
+                jnp.where(direction > 0, state["q_left"], sub["q"]),
+                state["q_left"],
+            )
+            p_left = upd(
+                jnp.where(direction > 0, state["p_left"], sub["p"]),
+                state["p_left"],
+            )
+            g_left = upd(
+                jnp.where(direction > 0, state["g_left"], sub["g"]),
+                state["g_left"],
+            )
+            q_right = upd(
+                jnp.where(direction > 0, sub["q"], state["q_right"]),
+                state["q_right"],
+            )
+            p_right = upd(
+                jnp.where(direction > 0, sub["p"], state["p_right"]),
+                state["p_right"],
+            )
+            g_right = upd(
+                jnp.where(direction > 0, sub["g"], state["g_right"]),
+                state["g_right"],
+            )
+            turning_global = _is_turning(q_left, p_left, q_right, p_right)
+            state = dict(
+                q_cand=q_cand, lp_cand=lp_cand, logw_tree=logw_tree,
+                q_left=q_left, p_left=p_left, g_left=g_left,
+                q_right=q_right, p_right=p_right, g_right=g_right,
+                turning=jnp.logical_or(sub["turning"], turning_global),
+                diverging=sub["diverging"],
+                depth=state["depth"] + 1,
+                sum_accept=state["sum_accept"] + sub["sum_accept"],
+                n_leaves=state["n_leaves"] + sub["n"],
+            )
+            return state, key
+
+        def doubling_cond(carry):
+            state, _ = carry
+            return jnp.logical_and(
+                state["depth"] < max_depth,
+                jnp.logical_not(
+                    jnp.logical_or(state["turning"], state["diverging"])
+                ),
+            )
+
+        state, _ = jax.lax.while_loop(
+            doubling_cond, doubling_body, (init, key_tree)
+        )
+        accept_stat = state["sum_accept"] / jnp.maximum(state["n_leaves"], 1.0)
+        n_steps = state["n_leaves"]
+        return (
+            state["q_cand"], state["lp_cand"], accept_stat, n_steps,
+            state["diverging"],
+        )
+
+    return transition
+
+
+def nuts(
+    logprob_fn: Callable,
+    q0: Any,
+    key,
+    num_samples: int = 500,
+    num_warmup: int = 300,
+    max_depth: int = 8,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> NUTSResult:
+    """Single-chain NUTS over a pytree position; vmap/shard for chains."""
+    q0_flat, unravel = ravel_pytree(q0)
+
+    def lp_flat(qf):
+        return logprob_fn(unravel(qf))
+
+    lpg = jax.value_and_grad(lp_flat)
+    transition = _nuts_kernel(lpg, max_depth)
+
+    lp0, g0 = lpg(q0_flat)
+
+    # dual-averaging warmup
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def warmup_step(carry, key):
+        q, lp, g, log_eps, log_eps_bar, h_bar, t = carry
+        eps = jnp.exp(log_eps)
+        q_new, lp_new, accept, _, _ = _run_transition(transition, key, q, lp, g, eps)
+        g_new = lpg(q_new)[1]
+        t = t + 1.0
+        eta = 1.0 / (t + t0)
+        h_bar = (1.0 - eta) * h_bar + eta * (target_accept - accept)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        return (q_new, lp_new, g_new, log_eps, log_eps_bar, h_bar, t), None
+
+    init_carry = (
+        q0_flat, lp0, g0,
+        jnp.log(jnp.asarray(init_step_size, q0_flat.dtype)),
+        jnp.log(jnp.asarray(init_step_size, q0_flat.dtype)),
+        jnp.zeros((), q0_flat.dtype), jnp.zeros((), q0_flat.dtype),
+    )
+    keys_w = jr.split(jr.fold_in(key, 0), num_warmup)
+    (q, lp, g, _, log_eps_bar, _, _), _ = jax.lax.scan(
+        warmup_step, init_carry, keys_w
+    )
+    eps = jnp.exp(log_eps_bar)
+
+    def sample_step(carry, key):
+        q, lp, g = carry
+        q_new, lp_new, accept, n_steps, div = _run_transition(
+            transition, key, q, lp, g, eps
+        )
+        g_new = lpg(q_new)[1]
+        return (q_new, lp_new, g_new), (q_new, accept, n_steps, div, lp_new)
+
+    keys_s = jr.split(jr.fold_in(key, 1), num_samples)
+    _, (qs, accepts, n_steps, divs, lps) = jax.lax.scan(
+        sample_step, (q, lp, g), keys_s
+    )
+    samples = jax.vmap(unravel)(qs)
+    return NUTSResult(samples, accepts, eps, n_steps, divs, lps)
+
+
+def _run_transition(transition, key, q, lp, g, eps):
+    return transition(key, q, lp, g, eps)
+
+
+@partial(jax.jit, static_argnames=(
+    "logprob_fn", "num_samples", "num_warmup", "max_depth"))
+def nuts_chains(
+    logprob_fn: Callable,
+    q0s: Any,
+    keys: jnp.ndarray,
+    num_samples: int = 500,
+    num_warmup: int = 300,
+    max_depth: int = 8,
+    init_step_size: float = 0.1,
+) -> NUTSResult:
+    """Vmapped chains; the chain axis shards one-per-chip under a "dp" mesh
+    (BASELINE config 3)."""
+    return jax.vmap(
+        lambda q0, key: nuts(
+            logprob_fn, q0, key, num_samples, num_warmup, max_depth,
+            init_step_size,
+        )
+    )(q0s, keys)

@@ -51,15 +51,18 @@ def pad_segments(
 
 def masked_nll(K, y, mask, noise, jitter) -> jnp.ndarray:
     """NLL over the valid prefix only: padded rows are replaced by identity
-    rows/cols (unit diagonal, zero off-diagonal, zero target), contributing
-    exactly 0 to yᵀα and log|K|, and −½log2π each — which we subtract."""
+    rows/cols (unit diagonal, zero off-diagonal, zero target). Each padded row
+    then contributes 0 to yᵀα, log(1+σ²+jitter) to the logdet (the noise is
+    added to the padded diagonal too), and ½log2π to the norm constant — both
+    are subtracted exactly."""
     m2 = mask[..., :, None] * mask[..., None, :]
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     K_pad = K * m2 + (1.0 - mask[..., :, None]) * eye
     y_pad = y * mask
     raw = chol.nll(K_pad, y_pad, noise, jitter)
     n_pad = K.shape[-1] - jnp.sum(mask, axis=-1)
-    return raw - 0.5 * n_pad * chol.LOG_2PI
+    sigma2 = jnp.asarray(noise, K.dtype) + jnp.asarray(jitter, K.dtype)
+    return raw - 0.5 * n_pad * (chol.LOG_2PI + jnp.log1p(sigma2))
 
 
 def segmented_nll(

@@ -91,7 +91,9 @@ def svgp_elbo(
     f_mean, f_var = _whitened_marginals(
         kernel, kp, params.z, params.q_mu, params.q_sqrt, x_batch, jitter
     )
-    noise = jnp.exp(params.log_noise) ** 2 + jitter
+    # log_noise parameterises the noise VARIANCE σ² (consistent with the
+    # exact path, where `noise` is added to the diagonal as σ²·I)
+    noise = jnp.exp(params.log_noise) + jitter
     # E_q log N(y | f, σ²) per point
     exp_ll = -0.5 * (
         LOG_2PI + jnp.log(noise) + ((resid - f_mean) ** 2 + f_var) / noise
@@ -135,7 +137,7 @@ def svgp_predict(
 
 def fit_svgp(
     kernel, x, y, m: int = 128, key=None,
-    batch_size: int = 2048, steps: int = 2000, lr: float = 5e-3,
+    batch_size: int = 2048, steps: int = 2000, lr: float = 1e-2,
     noise: float = 1e-2, jitter: float = DEFAULT_CONFIG.jitter,
     mean: Optional[MeanFunction] = None, mean_params: Any = None,
 ):

@@ -1,0 +1,170 @@
+"""Large-scale exact-GP fitting with the distributed factorisation.
+
+The NLL gradient w.r.t. kernel hyperparameters is
+
+    ∂NLL/∂θ = ½·tr(Kₙ⁻¹·∂K/∂θ) − ½·αᵀ·(∂K/∂θ)·α,   α = Kₙ⁻¹y
+
+i.e. the cotangent w.r.t. K is  ½(Kₙ⁻¹ − ααᵀ).  Materialising Kₙ⁻¹ is O(n³)
+extra, so the trace term uses the Hutchinson estimator with Rademacher probes
+(the stochastic-Lanczos-family approach SURVEY.md §7 hard part #1 calls for):
+
+    Kₙ⁻¹ ≈ (1/s)·Σᵢ (Kₙ⁻¹zᵢ)·zᵢᵀ   (unbiased; zᵢ ∈ {±1}ⁿ)
+
+Each Kₙ⁻¹zᵢ is two *exact* distributed block substitutions against the
+Cholesky factor already computed in the forward pass — no CG iteration error.
+The resulting low-rank cotangent is pushed through the Gram builder's VJP, so
+per step the cost is one distributed factorisation + (s+1) substitution pairs
++ one Gram VJP (all row-sharded).
+
+The probe noise only perturbs the *gradient* (like minibatching does for
+SVGP); Adam averages it out. ``probes=0`` falls back to exact autodiff through
+``linalg.cholesky`` (single-chip path).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from gaussianprocessfundamentals_tpu.config import DEFAULT_CONFIG, GPConfig
+from gaussianprocessfundamentals_tpu.fit.transforms import constrain, unconstrain
+from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
+from gaussianprocessfundamentals_tpu.parallel.block_cholesky import (
+    distributed_chol_solve,
+    distributed_cholesky,
+)
+from gaussianprocessfundamentals_tpu.parallel.sharded import sharded_gram
+
+
+def distributed_nll_value_and_grad(
+    kernel,
+    kernel_params: Any,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise,
+    jitter: float,
+    mesh: Mesh,
+    key,
+    axis: str = "tp",
+    block: int = 256,
+    probes: int = 8,
+) -> Tuple[jnp.ndarray, Any]:
+    """(nll, grad_kernel_params) with distributed Cholesky + Hutchinson VJP.
+
+    ``noise`` may be a traced scalar; its gradient is returned as the second
+    element of the grad pytree tuple ``(grad_params, grad_noise)``.
+    """
+    n = x.shape[0]
+    noise = jnp.asarray(noise, x.dtype)
+
+    # forward: K (row-sharded build), distributed factorisation, α
+    gram = lambda p: sharded_gram(kernel, p, x, mesh, axis)
+    K, gram_vjp = jax.vjp(gram, kernel_params)
+    Kn = K + (noise + jitter) * jnp.eye(n, dtype=x.dtype)
+    L_cyc, logdet = distributed_cholesky(Kn, mesh, axis, block)
+    alpha = distributed_chol_solve(L_cyc, y, mesh, axis, block)
+    nll = 0.5 * jnp.dot(y, alpha) + 0.5 * logdet + 0.5 * n * LOG_2PI
+
+    # backward: cotangent_K = ½(Kn⁻¹ − ααᵀ).
+    # Raw Hutchinson on Kn⁻¹ has catastrophic variance (Kn⁻¹ entries scale
+    # with 1/σ²), so use a Nyström preconditioner C ≈ Kn⁻¹ as an EXACT
+    # control variate (the GPyTorch pivoted-Cholesky trick with Nyström):
+    #   Kn⁻¹ = C + E[sym((Kn⁻¹z − Cz)·zᵀ)],   C = (I − UᵀU)/σ²
+    # with U = L_core⁻¹·K_mnL_mm⁻ᵀᵀ from the Woodbury factorisation. Probes
+    # only estimate the small residual Kn⁻¹ − C.
+    from gaussianprocessfundamentals_tpu.linalg.nystroem import nystroem_factor
+    from jax.scipy.linalg import solve_triangular
+
+    sigma2 = noise + jitter
+    m = max(16, min(512, n // 8))
+    z_ind = x[:: max(1, n // m)][:m]
+    ny = nystroem_factor(kernel, kernel_params, x, z_ind, sigma2, 1e-6)
+    U = solve_triangular(ny.L_core, ny.A.T, lower=True)  # [m, n]
+
+    def precond_apply(v):  # C v in O(nm)
+        return (v - U.T @ (U @ v)) / sigma2
+
+    rowshard = NamedSharding(mesh, PartitionSpec(axis, None))
+    C = (jnp.eye(n, dtype=x.dtype) - U.T @ U) / sigma2
+    C = jax.lax.with_sharding_constraint(C, rowshard)
+
+    solve = lambda v: distributed_chol_solve(L_cyc, v, mesh, axis, block)
+    if probes > 0:
+        z = jr.rademacher(key, (probes, n)).astype(x.dtype)
+        resid = jax.lax.map(lambda v: solve(v) - precond_apply(v), z)  # [s, n]
+        est_res = (
+            jnp.einsum("sn,sm->nm", resid, z) + jnp.einsum("sn,sm->nm", z, resid)
+        ) / (2.0 * probes)
+        est = C + jax.lax.with_sharding_constraint(est_res, rowshard)
+    else:
+        est = C
+    cot_K = 0.5 * (est - jnp.outer(alpha, alpha))
+    cot_K = jax.lax.with_sharding_constraint(cot_K, rowshard)
+    (grad_params,) = gram_vjp(cot_K)
+    grad_noise = 0.5 * (jnp.trace(est) - jnp.dot(alpha, alpha))
+    return nll, (grad_params, grad_noise)
+
+
+def fit_distributed(
+    kernel,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mesh: Mesh,
+    key,
+    config: GPConfig = DEFAULT_CONFIG,
+    axis: str = "tp",
+    block: int = 256,
+    probes: int = 8,
+    steps: int = 100,
+    lr: float = 0.05,
+    optimize_noise: bool = True,
+    init_noise: float = 1e-2,
+    xrange=None,
+):
+    """Adam over the distributed NLL (BASELINE config 5 fit loop).
+
+    Each step jits one distributed factorisation + Hutchinson gradient; the
+    step itself is compiled once and reused.
+    """
+    if xrange is None:
+        xrange = jnp.stack([x.min(axis=0), x.max(axis=0)], axis=-1)
+    pos = kernel.positivity()
+    u0 = {
+        "kernel": unconstrain(pos, kernel.init_params(xrange, x.shape[0], dtype=x.dtype)),
+        "log_noise": jnp.log(jnp.asarray(init_noise, x.dtype)),
+    }
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step_fn(u, opt_state, k):
+        kp = constrain(pos, u["kernel"])
+        noise = jnp.exp(u["log_noise"]) if optimize_noise else jnp.asarray(init_noise, x.dtype)
+        nll, (g_kp, g_noise) = distributed_nll_value_and_grad(
+            kernel, kp, x, y, noise, config.jitter, mesh, k, axis, block, probes
+        )
+        # chain rule through the log/exp reparameterisations
+        g_u = {
+            "kernel": jax.tree_util.tree_map(
+                lambda g, p, is_pos: g * p if is_pos else g,
+                g_kp, kp, pos,
+            ),
+            "log_noise": (g_noise * noise) if optimize_noise else jnp.zeros(()),
+        }
+        updates, opt_state = opt.update(g_u, opt_state, u)
+        return optax.apply_updates(u, updates), opt_state, nll
+
+    opt_state = opt.init(u0)
+    u = u0
+    hist = []
+    with mesh:
+        for i in range(steps):
+            u, opt_state, nll = step_fn(u, opt_state, jr.fold_in(key, i))
+            hist.append(float(nll))
+    kp = constrain(pos, u["kernel"])
+    noise = float(jnp.exp(u["log_noise"])) if optimize_noise else init_noise
+    return kp, noise, jnp.asarray(hist)

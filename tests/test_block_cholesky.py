@@ -1,0 +1,87 @@
+"""Distributed block-cyclic Cholesky vs local LAPACK on the fake 8-device
+mesh (SURVEY.md §7 hard part #1; BASELINE config 5 machinery)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+from gaussianprocessfundamentals_tpu.parallel.block_cholesky import (
+    distributed_chol_solve,
+    distributed_cholesky,
+    distributed_nll,
+    from_cyclic_blocks,
+    to_cyclic_blocks,
+)
+from gaussianprocessfundamentals_tpu.parallel.meshes import single_axis_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 1, (n, 1)), axis=0)
+    K = np.exp(-0.5 * (x - x.T) ** 2 / 0.04) + 0.3 * np.eye(n)
+    y = rng.standard_normal(n)
+    return jnp.asarray(K), jnp.asarray(y)
+
+
+def test_cyclic_block_roundtrip():
+    K, _ = _spd(64)
+    A = to_cyclic_blocks(K, 4, 8)
+    np.testing.assert_allclose(np.asarray(from_cyclic_blocks(A, 8)), np.asarray(K))
+
+
+def test_distributed_cholesky_matches_lapack():
+    K, _ = _spd(64)
+    mesh = single_axis_mesh("tp")
+    L_cyc, logdet = distributed_cholesky(K, mesh, block=4)
+    L = np.asarray(from_cyclic_blocks(L_cyc, 8))
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    np.testing.assert_allclose(np.tril(L), L_ref, atol=1e-8)
+    # strictly upper part of our L may hold harmless garbage from the
+    # trailing update of the diagonal row; only the lower triangle is L
+    np.testing.assert_allclose(
+        float(logdet), np.linalg.slogdet(np.asarray(K))[1], rtol=1e-9
+    )
+
+
+def test_distributed_solve_and_nll_match_local():
+    K, y = _spd(64, seed=1)
+    mesh = single_axis_mesh("tp")
+    L_cyc, _ = distributed_cholesky(K, mesh, block=4)
+    alpha = distributed_chol_solve(L_cyc, y, mesh, block=4)
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.linalg.solve(np.asarray(K), np.asarray(y)), atol=1e-7
+    )
+    got = float(distributed_nll(K, y, 0.1, 1e-8, mesh, block=4))
+    want = float(chol.nll(K, y, 0.1, 1e-8))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_distributed_cholesky_larger_blocks():
+    K, y = _spd(128, seed=2)
+    mesh = single_axis_mesh("tp")
+    got = float(distributed_nll(K, y, 0.05, 1e-8, mesh, block=8))
+    want = float(chol.nll(K, y, 0.05, 1e-8))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_skc_bounds_sandwich_exact():
+    from gaussianprocessfundamentals_tpu.objectives.skc import (
+        skc_lower_bound,
+        skc_upper_bound,
+    )
+
+    x, ynp = gpf.synth_se(n=120, lengthscale=0.2, noise_sd=0.1, seed=0)
+    x, y = jnp.asarray(x), jnp.asarray(ynp)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    noise = 0.1
+    exact = float(chol.mll(k.gram(p, x, x), y, noise, 1e-8))
+    lower = float(skc_lower_bound(k, p, x, y, x[::6], noise, 1e-8))
+    upper = float(skc_upper_bound(k, p, x, y, x[::6], noise, 1e-8, num_iters=10))
+    assert lower <= exact <= upper, (lower, exact, upper)

@@ -1,0 +1,154 @@
+"""Segmented/partitioned model tests + partition kernel + metrics + sampling."""
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.kernels.partition import (
+    BoxPartitioning,
+    DistancePartitioning,
+    Partition,
+    partitioning_from_dict,
+    partitioning_to_dict,
+)
+from gaussianprocessfundamentals_tpu.models.segmented import (
+    BlockwiseGP,
+    PartitionedGP,
+    masked_nll,
+    pad_segments,
+    segmented_nll,
+)
+from gaussianprocessfundamentals_tpu.objectives.metrics import (
+    bic,
+    blockwise_neg_log_likelihood,
+    cross_validate,
+    mean_squared_error,
+    neg_log_likelihood,
+)
+from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+
+XR = [[0.0, 1.0]]
+
+
+def test_partition_kernel_block_structure():
+    model = BoxPartitioning(edges=(0.5,))
+    k = Partition(
+        children=(gpf.SquaredExponentialKernel(), gpf.LinearKernel()), model=model
+    )
+    x = jnp.linspace(0, 1, 20)[:, None]
+    p = k.init_params(XR, 20)
+    K = np.asarray(k.gram(p, x, x))
+    left = np.asarray(x[:, 0]) < 0.5
+    assert np.all(K[np.ix_(left, ~left)] == 0)
+    Kse = np.asarray(gpf.SquaredExponentialKernel().gram(p["children"][0], x, x))
+    np.testing.assert_allclose(K[np.ix_(left, left)], Kse[np.ix_(left, left)])
+    np.testing.assert_allclose(np.diag(K), np.asarray(k.diag(p, x)), atol=1e-7)
+
+
+def test_distance_partitioning_assignment():
+    m = DistancePartitioning(centers=((0.0,), (1.0,)))
+    x = jnp.array([[0.1], [0.9], [0.49], [0.51]])
+    ids = np.asarray(m.assign(x))
+    np.testing.assert_array_equal(ids, [0, 1, 0, 1])
+    d = partitioning_to_dict(m)
+    assert partitioning_from_dict(d) == m
+
+
+def test_partition_kernel_serialization():
+    k = Partition(
+        children=(gpf.SquaredExponentialKernel(), gpf.Matern32Kernel()),
+        model=BoxPartitioning(edges=(0.3,)),
+    )
+    assert gpf.kernel_from_dict(k.to_dict()) == k
+
+
+def test_masked_nll_equals_unpadded():
+    x, y = gpf.synth_se(n=20, seed=0)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    exact = float(chol.nll(k.gram(p, x, x), y, 0.1, 1e-8))
+    # pad to 32 rows
+    xp = jnp.concatenate([x, jnp.repeat(x[:1], 12, axis=0)])
+    yp = jnp.concatenate([y, jnp.zeros(12, y.dtype)])
+    mask = jnp.concatenate([jnp.ones(20), jnp.zeros(12)]).astype(y.dtype)
+    padded = float(masked_nll(k.gram(p, xp, xp), yp, mask, 0.1, 1e-8))
+    np.testing.assert_allclose(padded, exact, rtol=1e-8)
+
+
+def test_segmented_nll_matches_sum():
+    x1, y1 = gpf.synth_se(n=25, seed=1)
+    x2, y2 = gpf.synth_se(n=18, seed=2)
+    xs = [jnp.asarray(x1), jnp.asarray(x2)]
+    ys = [jnp.asarray(y1), jnp.asarray(y2)]
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    import jax
+
+    xb, yb, mb = pad_segments(xs, ys)
+    batched_p = jax.tree_util.tree_map(lambda l: jnp.stack([l, l]), p)
+    total = float(segmented_nll([k, k], batched_p, xb, yb, mb, 0.1, 1e-8))
+    expected = sum(
+        float(chol.nll(k.gram(p, x, x), y, 0.1, 1e-8)) for x, y in zip(xs, ys)
+    )
+    np.testing.assert_allclose(total, expected, rtol=1e-8)
+
+
+def test_blockwise_gp_end_to_end():
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 1, (120, 1)), axis=0)
+    y = np.where(x[:, 0] < 0.5, np.sin(25 * x[:, 0]), 1.0 + 0.1 * x[:, 0])
+    bw = BlockwiseGP(
+        [gpf.SquaredExponentialKernel(scaled=True), gpf.LinearKernel()],
+        locations=[0.5],
+    )
+    bw.fit(jnp.asarray(x), jnp.asarray(y), optimize_noise=True)
+    mu, _, _, var = bw.predict(jnp.asarray(x))
+    assert float(np.mean((mu - y) ** 2)) < 0.05
+    assert np.all(var >= 0)
+    assert np.isfinite(bw.log_marginal_likelihood())
+
+
+def test_partitioned_gp_end_to_end():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (100, 1))
+    y = np.where(x[:, 0] < 0.5, -1.0, 1.0) + 0.05 * rng.standard_normal(100)
+    model = DistancePartitioning(centers=((0.25,), (0.75,)))
+    pg = PartitionedGP(
+        [gpf.SquaredExponentialKernel(scaled=True)] * 2,
+        locations=None, model=model,
+    )
+    pg.fit(jnp.asarray(x), jnp.asarray(y), optimize_noise=True)
+    mu, _, _, var = pg.predict(jnp.asarray(x))
+    assert float(np.mean((mu - y) ** 2)) < 0.05
+
+
+def test_metrics_and_cv(key):
+    x, y = gpf.synth_se(n=100, seed=0)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    nll = float(neg_log_likelihood(k, p, x, y, 0.1))
+    b = float(bic(k, p, x, y, 0.1))
+    np.testing.assert_allclose(b, 2 * nll + 1 * np.log(100), rtol=1e-10)
+    mse = float(
+        mean_squared_error(k, p, x[:80], y[:80], x[80:], y[80:], 0.01)
+    )
+    assert mse < 0.5
+    cv = float(cross_validate(k, p, x, y, 0.01, k=5, key=key))
+    assert np.isfinite(cv) and cv < 0.5
+    bnll = float(
+        blockwise_neg_log_likelihood([k, k], [p, p], [x[:50], x[50:]], [y[:50], y[50:]], 0.1)
+    )
+    assert np.isfinite(bnll)
+
+
+def test_prior_posterior_sampling_moments(key):
+    x = jnp.linspace(0, 1, 40)[:, None]
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    s = gpf.sample_prior(k, p, x, key, num_samples=2000)
+    emp_cov = np.cov(np.asarray(s).T)
+    np.testing.assert_allclose(
+        emp_cov, np.asarray(k.gram(p, x, x)), atol=0.15
+    )

@@ -1,0 +1,48 @@
+"""Pallas Gram kernels vs the XLA builder (interpret mode on CPU; the same
+kernels run compiled on TPU — validated by bench/TPU smoke runs)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.ops.pallas_gram import matern_gram, se_gram
+
+
+def _x(n, d=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(0, 1, (n, d)), jnp.float32)
+
+
+@pytest.mark.parametrize("n,m,d", [(64, 64, 1), (100, 80, 3), (256, 256, 2)])
+def test_se_gram_matches_xla(n, m, d):
+    x1, x2 = _x(n, d, 0), _x(m, d, 1)
+    got = np.asarray(se_gram(x1, x2, 0.3, 1.5, interpret=True))
+    ref = np.asarray(
+        gpf.SquaredExponentialKernel(dim=d, scaled=True).gram(
+            {"lengthscale": jnp.float32(0.3), "variance": jnp.float32(1.5)}, x1, x2
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_se_gram_fused_diagonal():
+    x = _x(96, 1)
+    got = np.asarray(se_gram(x, x, 0.3, 1.0, diag_add=0.7, interpret=True))
+    ref = np.asarray(
+        gpf.SquaredExponentialKernel().gram({"lengthscale": jnp.float32(0.3)}, x, x)
+    ) + 0.7 * np.eye(96, dtype=np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_matern_gram_matches_formula():
+    import math
+
+    x1, x2 = _x(64, 1, 0), _x(64, 1, 1)
+    for nu, c in (("32", math.sqrt(3)), ("52", math.sqrt(5))):
+        got = np.asarray(matern_gram(x1, x2, 0.25, nu=nu, interpret=True))
+        d = np.abs(np.asarray(x1) - np.asarray(x2).T)
+        f = c * d / 0.25
+        ref = (1 + f) * np.exp(-f)
+        if nu == "52":
+            ref = (1 + f + 5 * d * d / (3 * 0.25**2)) * np.exp(-f)
+        np.testing.assert_allclose(got, ref, atol=5e-5)

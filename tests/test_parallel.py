@@ -1,0 +1,116 @@
+"""Distributed tests on the fake 8-device CPU mesh (SURVEY.md §4.4):
+sharded Gram panels, distributed CG, dp-sharded restart fitting, and the
+graft dry run — the same code paths that run on a real slice."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+from gaussianprocessfundamentals_tpu.parallel.meshes import make_mesh, single_axis_mesh
+from gaussianprocessfundamentals_tpu.parallel.sharded import (
+    sharded_cg_solve,
+    sharded_gram,
+    sharded_nll,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+K_SE = gpf.SquaredExponentialKernel()
+P_SE = {"lengthscale": jnp.asarray(0.2)}
+
+
+def _data(n=64):
+    x, y = gpf.synth_se(n=n, lengthscale=0.2, noise_sd=0.1, seed=0)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_sharded_gram_matches_local():
+    x, _ = _data()
+    mesh = single_axis_mesh("tp")
+    with mesh:
+        K = jax.jit(lambda x: sharded_gram(K_SE, P_SE, x, mesh))(x)
+    np.testing.assert_allclose(
+        np.asarray(K), np.asarray(K_SE.gram(P_SE, x, x)), atol=1e-10
+    )
+    # rows must actually be sharded over the tp axis
+    shard_shapes = {s.data.shape for s in K.addressable_shards}
+    assert shard_shapes == {(64 // 8, 64)}, shard_shapes
+
+
+def test_sharded_nll_matches_local():
+    x, y = _data()
+    mesh = single_axis_mesh("tp")
+    with mesh:
+        nll_sharded = jax.jit(
+            lambda: sharded_nll(K_SE, P_SE, x, y, 0.1, 1e-8, mesh)
+        )()
+    nll_local = chol.nll(K_SE.gram(P_SE, x, x), y, 0.1, 1e-8)
+    np.testing.assert_allclose(float(nll_sharded), float(nll_local), rtol=1e-8)
+
+
+def test_sharded_cg_matches_direct():
+    x, y = _data()
+    mesh = single_axis_mesh("tp")
+    with mesh:
+        v = jax.jit(
+            lambda: sharded_cg_solve(K_SE, P_SE, x, y, 0.5, 1e-8, mesh, tol=1e-10)
+        )()
+    Kn = np.asarray(K_SE.gram(P_SE, x, x)) + (0.5 + 1e-8) * np.eye(64)
+    np.testing.assert_allclose(np.asarray(v), np.linalg.solve(Kn, np.asarray(y)), atol=1e-6)
+
+
+def test_sharded_nll_gradient_matches_local():
+    x, y = _data()
+    mesh = single_axis_mesh("tp")
+
+    def f_sharded(p):
+        return sharded_nll(K_SE, p, x, y, 0.1, 1e-8, mesh)
+
+    def f_local(p):
+        return chol.nll(K_SE.gram(p, x, x), y, 0.1, 1e-8)
+
+    with mesh:
+        g_s = jax.jit(jax.grad(f_sharded))(P_SE)
+    g_l = jax.grad(f_local)(P_SE)
+    np.testing.assert_allclose(
+        float(g_s["lengthscale"]), float(g_l["lengthscale"]), rtol=1e-6
+    )
+
+
+def test_dp_tp_mesh_training_step():
+    """2×4 mesh: restarts on dp, covariance rows on tp — the full multi-chip
+    training step the driver dry-runs."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_hmc_chains_shard_over_mesh(key):
+    """Chains sharded one-per-device over an 8-way dp mesh produce the same
+    statistics as unsharded vmap (BASELINE config 3 sharding)."""
+    import jax.random as jr
+
+    from gaussianprocessfundamentals_tpu.mcmc.hmc import hmc_chains
+
+    logprob = lambda q: -0.5 * jnp.sum(q["x"] ** 2)
+    q0s = {"x": jnp.zeros((8, 2))}
+    keys = jr.split(key, 8)
+    mesh = single_axis_mesh("dp")
+    dp = NamedSharding(mesh, P("dp"))
+    q0s_sharded = jax.device_put(q0s, NamedSharding(mesh, P("dp", None)))
+    keys_sharded = jax.device_put(keys, dp)
+    with mesh:
+        res = hmc_chains(
+            logprob, q0s_sharded, keys_sharded,
+            num_samples=200, num_warmup=100, num_leapfrog=8,
+        )
+    s = np.asarray(res.samples["x"])  # [chains, samples, 2]
+    assert s.shape[0] == 8
+    np.testing.assert_allclose(s.mean(), 0.0, atol=0.2)
+    np.testing.assert_allclose(s.std(), 1.0, atol=0.2)
