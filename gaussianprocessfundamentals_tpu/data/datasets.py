@@ -131,6 +131,34 @@ class DataInput:
         return out
 
 
+@dataclasses.dataclass
+class BatchDataInput:
+    """Batched ("instance-stacked") problems: x [b, n, d], y [b, n]
+    (reference ``DataHandling/BatchDataInput.py:24-112``). The whole engine
+    broadcasts over leading dims, so this is mostly a validated container;
+    fitting with shared hyperparameters across instances aggregates
+    per-instance NLLs by mean (reference ``p_batch_metric_aggregator``)."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+
+    def __post_init__(self):
+        assert self.x.ndim == 3 and self.y.ndim == 2, (self.x.shape, self.y.shape)
+        assert self.x.shape[:2] == self.y.shape
+
+    @property
+    def batch(self) -> int:
+        return self.x.shape[0]
+
+    def xrange(self) -> jnp.ndarray:
+        """Batched per-dimension ranges [b, d, 2]
+        (reference ``BatchDataInput.py:36-48``)."""
+        return jnp.stack([self.x.min(axis=1), self.x.max(axis=1)], axis=-1)
+
+    def instance(self, i: int) -> "DataInput":
+        return DataInput(self.x[i], self.y[i], self.x[i], self.y[i])
+
+
 # --- CSV dataset handlers (reference DatasetHandler.py:35-172) -------------
 
 DATA_DIR = os.environ.get("GPF_DATA_DIR", os.path.join(os.path.dirname(__file__), "csv"))

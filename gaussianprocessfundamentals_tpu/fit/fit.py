@@ -74,7 +74,11 @@ def make_nll(
         )
         resid = y - mean.mean(mp, x)
         K = gram(kp, x, x)
-        return chol.nll(K, resid, noise, config.jitter)
+        out = chol.nll(K, resid, noise, config.jitter)
+        # batched ("instance-stacked") problems aggregate by mean — the
+        # reference's p_batch_metric_aggregator default
+        # (global_parameters.py:64; LogLikelihood.py:62-63)
+        return jnp.mean(out) if out.ndim else out
 
     return nll_fn
 
@@ -148,6 +152,36 @@ def lbfgs_run(nll_fn, u0, max_iters: int = 200, tol: float = 1e-8):
     return u, None
 
 
+def scipy_run(nll_fn, u0, method: str = "BFGS", max_iters: int = 500):
+    """SciPy optimisers over the flattened pytree — working replacements for
+    the reference's vestigial ``ScipyBfgsFitter`` (broken ctor,
+    ``ScipyFitter.py:19``) and ``FletcherReevesCgFitter`` (undefined names,
+    ``ConjugateGradient.py:63``). ``method`` ∈ {"BFGS", "CG", ...}; "CG" is
+    scipy's Polak-Ribière/Fletcher-Reeves nonlinear CG. Gradients come from
+    the same jitted ``value_and_grad`` as the native fitters."""
+    import numpy as np
+    import scipy.optimize
+
+    from jax.flatten_util import ravel_pytree
+
+    u0_flat, unravel = ravel_pytree(u0)
+    vg = jax.jit(jax.value_and_grad(lambda uf: nll_fn(unravel(uf))))
+
+    def fun(uf):
+        v, g = vg(jnp.asarray(uf, u0_flat.dtype))
+        v = float(v)
+        g = np.asarray(g, dtype=np.float64)
+        if not np.isfinite(v):
+            return 1e30, np.zeros_like(g)
+        return v, g
+
+    res = scipy.optimize.minimize(
+        fun, np.asarray(u0_flat, np.float64), jac=True, method=method,
+        options={"maxiter": max_iters},
+    )
+    return unravel(jnp.asarray(res.x, u0_flat.dtype)), None
+
+
 def fit(
     kernel,
     x: jnp.ndarray,
@@ -206,6 +240,10 @@ def fit(
         else:
             if method == "adam":
                 u, hist = adam_run(nll_fn, u0, steps, lr)
+            elif method in ("scipy-bfgs", "scipy-cg"):
+                u, hist = scipy_run(
+                    nll_fn, u0, "BFGS" if method == "scipy-bfgs" else "CG"
+                )
             else:
                 u, hist = lbfgs_run(nll_fn, u0)
             rl = None

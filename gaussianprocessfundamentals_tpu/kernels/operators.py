@@ -191,3 +191,51 @@ class ChangePoint(Operator):
 
     def __str__(self):
         return "(" + " ][ ".join(str(c) for c in self.children) + ")"
+
+    # --- tree surgery (host-side; reference Operators.py:513-587) ---------
+    def with_kernel_appended(self, kernel: Kernel) -> "ChangePoint":
+        """Ordered insertion after the last segment (reference ``add_kernel``,
+        ``Operators.py:513-524``). Caller re-inits or extends params."""
+        return dataclasses.replace(self, children=self.children + (kernel,))
+
+    def with_kernel_prepended(self, kernel: Kernel) -> "ChangePoint":
+        """Reference ``add_preceding_kernel`` (``Operators.py:526-536``)."""
+        return dataclasses.replace(self, children=(kernel,) + self.children)
+
+    def prune(self, params, xrange) -> Tuple["ChangePoint", dict]:
+        """Drop degenerate change points: locations outside the data range or
+        overtaken by a later (sorted-order) sibling closer than 1e-9
+        (reference pruning of out-of-range/overtaken CPs,
+        ``Operators.py:538-587``). Returns (new kernel, new params); with one
+        surviving segment the caller should unwrap ``children[0]``."""
+        import numpy as np
+
+        xr = _as_xrange(xrange)
+        locs = np.sort(np.asarray(params["locations"]).reshape(-1))
+        keep_cp = []
+        prev = -np.inf
+        for loc in locs:
+            inside = xr[0, 0] < loc < xr[0, 1]
+            distinct = (loc - prev) > 1e-9
+            keep_cp.append(inside and distinct)
+            if inside and distinct:
+                prev = loc
+        keep_cp = np.asarray(keep_cp)
+        # segment i is bounded by cp i-1 and cp i; dropping cp i merges
+        # segments i and i+1 — keep the earlier child (reference keeps the
+        # preceding kernel)
+        children = list(self.children)
+        child_params = list(params["children"])
+        new_children, new_params, new_locs = [children[0]], [child_params[0]], []
+        for i, loc in enumerate(locs):
+            if keep_cp[i]:
+                new_locs.append(loc)
+                new_children.append(children[i + 1])
+                new_params.append(child_params[i + 1])
+        if not new_locs:
+            return self.children[0], child_params[0]
+        new_kernel = dataclasses.replace(self, children=tuple(new_children))
+        return new_kernel, {
+            "children": tuple(new_params),
+            "locations": jnp.asarray(np.asarray(new_locs)),
+        }

@@ -158,3 +158,23 @@ def cross_validate(
 
     vals = jnp.stack([one_fold(i) for i in range(k)])
     return jnp.mean(vals, axis=0)
+
+
+def cross_validate_partitioned(
+    kernel_segments, params_segments, segments, noise, k: int, key,
+    metric: str = "mse", config: GPConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """Partition-aware k-fold CV: folds are drawn *inside* each partition and
+    results reconcatenated (reference ``CrossValidation.py:96-134``). With
+    independent segments this equals the size-weighted mean of per-segment
+    CVs."""
+    total = sum(int(x.shape[0]) for x, _ in segments)
+    acc = 0.0
+    for i, (ks, ps, (x, y)) in enumerate(
+        zip(kernel_segments, params_segments, segments)
+    ):
+        w = x.shape[0] / total
+        acc = acc + w * cross_validate(
+            ks, ps, x, y, noise, k, jr.fold_in(key, i), metric, config
+        )
+    return acc

@@ -1,0 +1,163 @@
+"""Compatibility-surface tests: enums, metric factory, scipy fitters, batch
+data, auxiliary utils, change-point surgery."""
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu import compat
+from gaussianprocessfundamentals_tpu.data.datasets import BatchDataInput
+from gaussianprocessfundamentals_tpu.fit.fit import fit, make_nll, init_uparams
+from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+from gaussianprocessfundamentals_tpu.objectives.metrics import (
+    cross_validate_partitioned,
+)
+from gaussianprocessfundamentals_tpu.utils.auxiliary import (
+    SimilarityTransform,
+    deserialize_params,
+    serialize_params,
+    similarity_from_distance,
+    unique_rows,
+)
+
+
+def _data(n=80, seed=0):
+    x, y = gpf.synth_se(n=n, lengthscale=0.2, noise_sd=0.1, seed=seed)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_init_returns_config():
+    cfg = compat.init(tf_parallel=4, jitter=1e-6)
+    assert cfg.jitter == 1e-6
+
+
+def test_metric_factory_ll_matches_direct():
+    x, y = _data()
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    f = compat.get_metric(compat.MetricType.LL)
+    direct = float(chol.nll(k.gram(p, x, x), y, 0.1, compat.DEFAULT_CONFIG.jitter))
+    np.testing.assert_allclose(float(f(k, p, x, y, 0.1)), direct, rtol=1e-10)
+    # CG handling path agrees
+    f_cg = compat.get_metric(
+        compat.MetricType.LL,
+        handling=compat.NumericalMatrixHandlingType.LINEAR_CONJUGATE_GRADIENT,
+    )
+    np.testing.assert_allclose(float(f_cg(k, p, x, y, 0.1)), direct, rtol=1e-6)
+
+
+def test_metric_factory_approximations():
+    x, y = _data(100)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    z = x[::5]
+    exact_nll = float(chol.nll(k.gram(p, x, x), y, 0.1, 1e-8))
+    ny = float(compat.get_metric(
+        compat.MetricType.LL, compat.MatrixApproximations.BASIC_NYSTROEM
+    )(k, p, x, y, z, 0.1))
+    lo = float(compat.get_metric(
+        compat.MetricType.LL, compat.MatrixApproximations.SKC_LOWER_BOUND
+    )(k, p, x, y, z, 0.1))
+    hi = float(compat.get_metric(
+        compat.MetricType.LL, compat.MatrixApproximations.SKC_UPPER_BOUND
+    )(k, p, x, y, z, 0.1))
+    # negated bounds sandwich the negated exact ll (1e-5 slack for the
+    # environment's f32-grade f64 transcendentals, see conftest note)
+    assert hi <= exact_nll + 1e-5 and exact_nll <= lo + 1e-5
+    assert np.isfinite(ny)
+
+
+def test_scipy_fitters_work():
+    x, y = _data(120, seed=1)
+    for method in ("scipy-bfgs", "scipy-cg"):
+        res = fit(
+            gpf.SquaredExponentialKernel(), x, y,
+            method=method, optimize_noise=True,
+        )
+        assert np.isfinite(res.nll_post) and res.nll_post < res.nll_pre, method
+
+
+def test_batched_fit_shared_params():
+    xs, ys = [], []
+    for s in range(3):
+        x, y = gpf.synth_se(n=60, lengthscale=0.2, noise_sd=0.1, seed=s)
+        xs.append(x)
+        ys.append(y)
+    bd = BatchDataInput(jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)))
+    assert bd.batch == 3
+    nll_fn = make_nll(
+        gpf.SquaredExponentialKernel(), gpf.ZeroMean(), bd.x, bd.y,
+        optimize_noise=True,
+    )
+    u0 = init_uparams(
+        gpf.SquaredExponentialKernel(), gpf.ZeroMean(), [[0.0, 1.0]], 60,
+        optimize_noise=True, dtype=bd.x.dtype,
+    )
+    v = float(nll_fn(u0))
+    # equals the mean of per-instance NLLs (reference batch aggregator)
+    per = [
+        float(
+            make_nll(
+                gpf.SquaredExponentialKernel(), gpf.ZeroMean(), bd.x[i], bd.y[i],
+                optimize_noise=True,
+            )(u0)
+        )
+        for i in range(3)
+    ]
+    np.testing.assert_allclose(v, np.mean(per), rtol=1e-10)
+
+
+def test_serialize_roundtrip_fixed():
+    k = gpf.SquaredExponentialKernel(scaled=True) + gpf.PeriodicKernel()
+    p = k.init_params([[0.0, 1.0]], 10)
+    vec, _ = serialize_params(p)
+    p2 = deserialize_params(vec, p)
+    import jax
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        p, p2,
+    )
+    # the second parameter must round-trip too (the reference's bug always
+    # sliced from offset 0, BasicGPComponent.py:37-40)
+    assert vec.shape[0] == 4
+
+
+def test_unique_rows_and_similarity():
+    x = jnp.array([[1.0, 2.0], [1.0, 2.0], [3.0, 4.0]])
+    assert unique_rows(x).shape == (2, 2)
+    d = jnp.array([0.0, 1.0, 4.0])
+    for t in SimilarityTransform:
+        s = np.asarray(similarity_from_distance(d, t))
+        assert s[0] >= s[1] >= s[2]  # closer = more similar
+
+
+def test_changepoint_surgery(key):
+    cp = gpf.ChangePoint(
+        children=(gpf.SquaredExponentialKernel(), gpf.LinearKernel(),
+                  gpf.Matern32Kernel())
+    )
+    p = cp.init_params([[0.0, 1.0]], 50)
+    # push one location out of range → its segment merges away
+    p["locations"] = jnp.asarray([0.4, 2.0])
+    k2, p2 = cp.prune(p, [[0.0, 1.0]])
+    assert len(k2.children) == 2 and p2["locations"].shape == (1,)
+    # all out of range → collapses to the first child
+    p["locations"] = jnp.asarray([-3.0, 2.0])
+    k3, p3 = cp.prune(p, [[0.0, 1.0]])
+    assert isinstance(k3, gpf.SquaredExponentialKernel)
+    k4 = cp.with_kernel_appended(gpf.PeriodicKernel())
+    assert len(k4.children) == 4
+
+
+def test_partitioned_cv(key):
+    x1, y1 = _data(60, seed=0)
+    x2, y2 = _data(60, seed=1)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    v = float(
+        cross_validate_partitioned(
+            [k, k], [p, p], [(x1, y1), (x2, y2)], 0.01, k=4, key=key
+        )
+    )
+    assert np.isfinite(v)
