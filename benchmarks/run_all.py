@@ -1,0 +1,180 @@
+"""Extended benchmark harness over the five BASELINE configs.
+
+Prints one JSON line per config (stdout), suitable for BENCHMARKS.md. The
+repo-root ``bench.py`` remains the driver's single-line entry point.
+
+Run on TPU: python benchmarks/run_all.py
+Quick CPU smoke: python benchmarks/run_all.py --quick
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def timed(fn, reps=3):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+def bench_exact_fit_step(n, dtype):
+    """Config 1 kernel-of-the-fit-loop: NLL+grad at size n."""
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianprocessfundamentals_tpu as gpf
+    from gaussianprocessfundamentals_tpu.fit.fit import init_uparams, make_nll
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0, 1, (n, 1)), 0), dtype)
+    y = jnp.asarray(np.sin(8 * np.asarray(x)[:, 0]), dtype)
+    k = gpf.SquaredExponentialKernel(scaled=True)
+    nll = make_nll(k, gpf.ZeroMean(), x, y, optimize_noise=True)
+    u0 = init_uparams(k, gpf.ZeroMean(), [[0.0, 1.0]], n,
+                      optimize_noise=True, dtype=dtype)
+    step = jax.jit(jax.value_and_grad(nll))
+    dt, _ = timed(lambda: step(u0))
+    flops = n**3 + 4 * n**2 * 3
+    return {"config": "exact_nll_grad", "n": n, "ms": round(dt * 1e3, 1),
+            "gflops": round(flops / dt / 1e9, 1)}
+
+
+def bench_full_fit(n, dtype):
+    """Config 1 end-to-end: L-BFGS fit wall-clock."""
+    import jax.numpy as jnp
+
+    import gaussianprocessfundamentals_tpu as gpf
+
+    x, y = gpf.synth_se(n=n, lengthscale=0.2, noise_sd=0.1, seed=0)
+    x, y = jnp.asarray(x, dtype), jnp.asarray(y, dtype)
+    t0 = time.perf_counter()
+    res = gpf.fit(gpf.SquaredExponentialKernel(scaled=True), x, y,
+                  method="lbfgs", optimize_noise=True)
+    dt = time.perf_counter() - t0
+    return {"config": "exact_fit_lbfgs", "n": n, "s": round(dt, 2),
+            "nll_post": round(res.nll_post, 1)}
+
+
+def bench_nuts(n, chains, dtype):
+    """Config 3: NUTS samples/s."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    import gaussianprocessfundamentals_tpu as gpf
+    from gaussianprocessfundamentals_tpu.fit.fit import init_uparams, make_nll
+
+    x, y = gpf.synth_se(n=n, lengthscale=0.2, noise_sd=0.1, seed=0)
+    x, y = jnp.asarray(x, dtype), jnp.asarray(y, dtype)
+    kern = gpf.Matern52Kernel(scaled=True)
+    nll = make_nll(kern, gpf.ZeroMean(), x, y, optimize_noise=True)
+    logprob = lambda u: -nll(u) - 0.5 * sum(
+        jnp.sum(l**2) for l in jax.tree_util.tree_leaves(u)
+    ) / 9.0
+    q0s = jax.tree_util.tree_map(
+        lambda *l: jnp.stack(l),
+        *[init_uparams(kern, gpf.ZeroMean(), [[0.0, 1.0]], n,
+                       key=jr.PRNGKey(i), optimize_noise=True, dtype=dtype)
+          for i in range(chains)],
+    )
+    num = 100
+    t0 = time.perf_counter()
+    res = gpf.nuts_chains(logprob, q0s, jr.split(jr.PRNGKey(0), chains),
+                          num_samples=num, num_warmup=100, max_depth=6)
+    jax.block_until_ready(res.samples)
+    dt = time.perf_counter() - t0
+    return {"config": "nuts_matern52", "n": n, "chains": chains,
+            "samples_per_s": round(chains * num / dt, 1),
+            "accept": round(float(res.accept_stat.mean()), 2)}
+
+
+def bench_svgp(n, m, steps, dtype):
+    """Config 4: SVGP ELBO steps/s."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    import gaussianprocessfundamentals_tpu as gpf
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (n, 1)), dtype)
+    y = jnp.asarray(np.sin(12 * np.asarray(x)[:, 0])
+                    + 0.1 * rng.standard_normal(n), dtype)
+    t0 = time.perf_counter()
+    params, hist = gpf.fit_svgp(
+        gpf.SquaredExponentialKernel(scaled=True), x, y, m=m, steps=steps,
+        batch_size=min(4096, n), key=jr.PRNGKey(0),
+    )
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    return {"config": "svgp_elbo", "n": n, "m": m, "steps": steps,
+            "steps_per_s": round(steps / dt, 1),
+            "neg_elbo_final": round(float(hist[-1]), 1)}
+
+
+def bench_distributed(n, block, dtype):
+    """Config 5 machinery: distributed NLL on the available mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianprocessfundamentals_tpu as gpf
+    from gaussianprocessfundamentals_tpu.parallel.block_cholesky import (
+        distributed_nll,
+    )
+    from gaussianprocessfundamentals_tpu.parallel.meshes import single_axis_mesh
+
+    P = len(jax.devices())
+    if n // block % P:
+        n = (n // (block * P)) * block * P
+    x, y = gpf.synth_se(n=n, lengthscale=0.2, noise_sd=0.1, seed=0)
+    x, y = jnp.asarray(x, dtype), jnp.asarray(y, dtype)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2, dtype)}
+    K = k.gram(p, x, x)
+    mesh = single_axis_mesh("tp")
+    with mesh:
+        dt, out = timed(
+            lambda: distributed_nll(K, y, 0.01, 1e-6, mesh, block=block), reps=2
+        )
+    return {"config": "distributed_nll", "n": n, "devices": P,
+            "block": block, "ms": round(dt * 1e3, 1),
+            "chol_gflops": round((n**3 / 3) / dt / 1e9, 1)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    q = args.quick
+    dtype = jnp.float32
+    print(json.dumps({"backend": jax.default_backend(),
+                      "devices": len(jax.devices())}))
+    for rec in [
+        bench_exact_fit_step(1_000 if q else 10_000, dtype),
+        bench_full_fit(1_000 if q else 10_000, dtype),
+        bench_nuts(200 if q else 1_000, 2 if q else 8, dtype),
+        bench_svgp(5_000 if q else 100_000, 64 if q else 512,
+                   100 if q else 1_000, dtype),
+        bench_distributed(512 if q else 16_384, 64 if q else 512, dtype),
+    ]:
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
