@@ -1,0 +1,194 @@
+"""Modified batched conjugate gradients (mBCG) + stochastic Lanczos logdet.
+
+The TPU-first replacement for the Cholesky hot path at scale (GPyTorch's
+BBMM insight, PAPERS.md "Blackbox Matrix-Matrix Gaussian Process Inference"):
+one batched CG run against [y, z₁ … z_s] simultaneously yields
+
+  * the solve α = Kₙ⁻¹y (exact to CG tolerance),
+  * probe solves Kₙ⁻¹zᵢ for the trace/logdet machinery,
+  * per-RHS Lanczos tridiagonal coefficients (from the CG α/β recurrence),
+    giving log|Kₙ| by stochastic Lanczos quadrature:
+        log|Kₙ| ≈ (n/s)·Σᵢ e₁ᵀ·log(Tᵢ)·e₁·‖zᵢ‖²  (Ubaru et al. 2017)
+
+Why this wins on TPU: profiling (see bench notes) shows XLA's triangular solve
+is latency-bound (~30 ms for ONE rhs at n=10k on v5e) and Cholesky backward
+costs ~4× the forward. mBCG replaces the factorisation with t iterations of
+a single [n,n]×[n,s+1] matmul — pure MXU/HBM-bandwidth work — and the same
+matmuls serve value, solve, and gradient. With a matvec operator that builds
+K tiles on the fly (``ops.pallas_matvec``), K is never materialised and n is
+bounded by HBM for x, not K.
+
+Preconditioning: any SPD ``precond(v) ≈ Kₙ⁻¹v``; with the Nyström/partial
+pivoted preconditioner the Lanczos coefficients estimate
+log|P^{-1/2}KₙP^{-1/2}| — we use the *unpreconditioned* recurrence for the
+logdet probes and the preconditioned one for the solve RHS, keeping both
+exactness paths simple.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MBCGResult(NamedTuple):
+    solves: jnp.ndarray  # [n, r] approximate Kₙ⁻¹ B
+    alphas: jnp.ndarray  # [t, r] CG step sizes
+    betas: jnp.ndarray  # [t, r] CG conjugacy coefficients
+    resid_norm: jnp.ndarray  # [r] final residual norms
+
+
+def mbcg(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    B: jnp.ndarray,
+    max_iters: int = 100,
+    tol: float = 1e-8,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> MBCGResult:
+    """Batched CG on A X = B with B: [n, r]; matvec maps [n, r] → [n, r].
+
+    Runs a fixed ``max_iters`` iterations under ``lax.scan`` (converged
+    columns freeze via masking — static shapes, no host sync), recording the
+    α/β recurrence per column for Lanczos quadrature.
+    """
+    n, r = B.shape
+    M = precond if precond is not None else (lambda v: v)
+
+    X = jnp.zeros_like(B)
+    R = B
+    Z = M(R)
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)  # [r]
+
+    def step(carry, _):
+        X, R, Z, P, rz, done = carry
+        AP = matvec(P)
+        pAp = jnp.sum(P * AP, axis=0)
+        # f32 hardening: a non-positive or non-finite curvature means the
+        # Krylov space is exhausted at this precision — freeze the column
+        # with its current iterate instead of poisoning it (cf. the
+        # reference's NaN bail-out, LinearConjugateGradients.py:21-24)
+        bad = jnp.logical_or(pAp <= 0.0, ~jnp.isfinite(pAp))
+        done = jnp.logical_or(done, bad)
+        alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
+        alpha = jnp.where(done, 0.0, alpha)
+        X = X + alpha * P
+        R_new = R - alpha * AP
+        Z_new = M(R_new)
+        rz_new = jnp.sum(R_new * Z_new, axis=0)
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        beta = jnp.where(done, 0.0, beta)
+        P_new = Z_new + beta * P
+        resid = jnp.linalg.norm(R_new, axis=0)
+        done_new = jnp.logical_or(
+            jnp.logical_or(done, resid < tol), ~jnp.isfinite(resid)
+        )
+        keep = jnp.isfinite(R_new)
+        R_new = jnp.where(keep, R_new, R)
+        return (X, R_new, Z_new, P_new, rz_new, done_new), (alpha, beta)
+
+    (X, R, _, _, _, _), (alphas, betas) = jax.lax.scan(
+        step, (X, R, Z, P, rz, jnp.zeros((r,), bool)), None, length=max_iters
+    )
+    return MBCGResult(X, alphas, betas, jnp.linalg.norm(R, axis=0))
+
+
+def lanczos_tridiag_from_cg(
+    alphas: jnp.ndarray, betas: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CG coefficients → Lanczos tridiagonal (diag, offdiag) per column.
+
+    T_jj = 1/α_j + β_{j-1}/α_{j-1};  T_{j,j+1} = √β_j / α_j
+    (Saad; the standard CG↔Lanczos correspondence). alphas/betas: [t, r].
+    """
+    t = alphas.shape[0]
+    safe_a = jnp.where(alphas != 0, alphas, 1.0)
+    prev_ba = jnp.concatenate(
+        [jnp.zeros_like(alphas[:1]), betas[:-1] / safe_a[:-1]], axis=0
+    )
+    diag = 1.0 / safe_a + prev_ba  # [t, r]
+    off = jnp.sqrt(jnp.maximum(betas, 0.0)) / safe_a  # [t, r]
+    # columns that converged early have alpha=0 tail: give them identity rows
+    dead = alphas == 0
+    diag = jnp.where(dead, 1.0, diag)
+    off = jnp.where(dead, 0.0, off)
+    return diag, off[:-1]
+
+
+def slq_logdet(
+    alphas: jnp.ndarray, betas: jnp.ndarray, z_norms2: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """Stochastic Lanczos quadrature log-determinant estimate.
+
+    log|A| ≈ (1/s)·Σᵢ ‖zᵢ‖²·e₁ᵀ log(Tᵢ) e₁ with Rademacher zᵢ (‖zᵢ‖²=n).
+    """
+    diag, off = lanczos_tridiag_from_cg(alphas, betas)  # [t, r], [t-1, r]
+
+    def one(dg, od, zn2):
+        T = jnp.diag(dg) + jnp.diag(od, 1) + jnp.diag(od, -1)
+        w, V = jnp.linalg.eigh(T)
+        w = jnp.maximum(w, 1e-30)
+        tau = V[0, :] ** 2
+        return zn2 * jnp.sum(tau * jnp.log(w))
+
+    vals = jax.vmap(one, in_axes=(1, 1, 0))(diag, off, z_norms2)
+    return jnp.mean(vals)
+
+
+def iterative_nll_value_and_grad(
+    gram_matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    gram_vjp: Callable[[jnp.ndarray], tuple],
+    diag_sum: jnp.ndarray,
+    y: jnp.ndarray,
+    noise,
+    key,
+    num_probes: int = 8,
+    max_iters: int = 100,
+    tol: float = 1e-8,
+    precond: Optional[Callable] = None,
+    precond_logdet: Optional[jnp.ndarray] = None,
+    precond_cotangent: Optional[jnp.ndarray] = None,
+):
+    """NLL value + params-gradient without any factorisation.
+
+    ``gram_matvec(V)`` = K·V for V [n, r] (K WITHOUT noise); ``gram_vjp``
+    is the VJP of the Gram *builder* w.r.t. kernel params, taking an [n, n]
+    cotangent (only evaluated once, on the low-rank probe estimate);
+    ``diag_sum`` = tr(K) (for the probe-free part of the noise gradient).
+
+    Returns (nll, grad_params, grad_noise, diagnostics).
+    """
+    import jax.random as jr
+
+    from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
+
+    n = y.shape[0]
+    noise = jnp.asarray(noise, y.dtype)
+    Anv = lambda V: gram_matvec(V) + noise * V
+
+    z = jr.rademacher(key, (n, num_probes)).astype(y.dtype)
+    B = jnp.concatenate([y[:, None], z], axis=1)
+    res = mbcg(Anv, B, max_iters=max_iters, tol=tol, precond=precond)
+    alpha = res.solves[:, 0]
+    zhat = res.solves[:, 1:]
+
+    # logdet via SLQ on the probe columns (unpreconditioned recurrence when
+    # precond is None; with a preconditioner the estimate is of the
+    # preconditioned operator and ``precond_logdet`` must supply log|P|)
+    z_norms2 = jnp.sum(z * z, axis=0)
+    logdet = slq_logdet(res.alphas[:, 1:], res.betas[:, 1:], z_norms2, n)
+    if precond_logdet is not None:
+        logdet = logdet + precond_logdet
+
+    nll = 0.5 * jnp.dot(y, alpha) + 0.5 * logdet + 0.5 * n * LOG_2PI
+
+    # gradient: cot_K = ½(E[sym(ẑ zᵀ)] − ααᵀ) (+ exact control variate)
+    est = (zhat @ z.T + z @ zhat.T) / (2.0 * num_probes)
+    if precond_cotangent is not None:
+        est = est + precond_cotangent
+    cot = 0.5 * (est - jnp.outer(alpha, alpha))
+    (grad_params,) = gram_vjp(cot)
+    grad_noise = 0.5 * (jnp.trace(est) - jnp.dot(alpha, alpha))
+    return nll, grad_params, grad_noise, {"resid": res.resid_norm}

@@ -1,0 +1,83 @@
+"""Materialisation-free Gram operations: K·V and low-rank-cotangent VJP.
+
+For n beyond ~30k a single chip cannot hold K (n² f32 at 100k = 40 GB vs
+16 GB HBM on v5e). These operators stream K in row blocks — each block is
+(re)built from x (tiny) on the fly, used, and discarded, so memory is
+O(block·n) and the only persistent state is x itself. This is the KeOps-style
+lazy-kernel idea expressed as a ``lax.scan`` + ``jax.checkpoint``: XLA keeps
+the block build fused with its consumer (distance + transcendental + matmul
+in one kernel), so K never touches HBM at all.
+
+Used by :mod:`..linalg.mbcg` for factorisation-free exact GPs at N=100k+
+(BASELINE north star), and by its gradient path, where the probe cotangent
+½(sym(ẐZᵀ)/s − ααᵀ) is LOW-RANK: ``lowrank_gram_vjp`` contracts
+Σ_ij (UVᵀ)_ij·∂K_ij/∂θ block-by-block under autodiff without ever forming
+either K or the cotangent.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad_rows(x: jnp.ndarray, block: int):
+    n = x.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+    return x, nb, pad
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "block"))
+def gram_matvec(
+    kernel, params: Any, x: jnp.ndarray, V: jnp.ndarray, block: int = 2048
+) -> jnp.ndarray:
+    """K(x,x) @ V with K streamed in [block, n] row panels; V: [n, r]."""
+    n = x.shape[0]
+    xp, nb, pad = _pad_rows(x, block)
+    x_blocks = xp.reshape(nb, block, x.shape[-1])
+
+    @jax.checkpoint
+    def one(xb):
+        Kb = kernel.gram(params, xb, x)  # [block, n]
+        return Kb @ V
+
+    out = jax.lax.map(one, x_blocks)  # [nb, block, r]
+    return out.reshape(nb * block, -1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "block"))
+def gram_diag_sum(kernel, params: Any, x: jnp.ndarray, block: int = 8192) -> jnp.ndarray:
+    """tr(K) without the matrix."""
+    return jnp.sum(kernel.diag(params, x))
+
+
+def lowrank_gram_vjp(
+    kernel, params: Any, x: jnp.ndarray, U: jnp.ndarray, W: jnp.ndarray,
+    block: int = 2048,
+):
+    """∂/∂params of Σ_ij (U Wᵀ)_ij K_ij(params), streamed in row blocks.
+
+    U, W: [n, r] low-rank cotangent factors (cot = U Wᵀ). Memory O(block·n);
+    rebuilds each K block once under ``jax.checkpoint`` for the backward.
+    """
+    n = x.shape[0]
+    xp, nb, pad = _pad_rows(x, block)
+    x_blocks = xp.reshape(nb, block, x.shape[-1])
+    Up, _, _ = _pad_rows(U, block)
+    U_blocks = Up.reshape(nb, block, U.shape[-1])
+
+    def total(p):
+        @jax.checkpoint
+        def one(args):
+            xb, ub = args
+            Kb = kernel.gram(p, xb, x)  # [block, n]
+            return jnp.sum(Kb * (ub @ W.T))
+
+        return jnp.sum(jax.lax.map(one, (x_blocks, U_blocks)))
+
+    return jax.grad(total)(params)

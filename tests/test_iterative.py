@@ -1,0 +1,113 @@
+"""Iterative (mBCG + SLQ) exact-GP path vs the Cholesky oracle."""
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+import gaussianprocessfundamentals_tpu as gpf
+from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+from gaussianprocessfundamentals_tpu.linalg.mbcg import mbcg, slq_logdet
+from gaussianprocessfundamentals_tpu.models.iterative import (
+    fit_iterative,
+    iterative_nll_and_grad,
+    iterative_posterior_mean,
+)
+from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
+    gram_matvec,
+    lowrank_gram_vjp,
+)
+
+K_SE = gpf.SquaredExponentialKernel()
+P_SE = {"lengthscale": jnp.asarray(0.2)}
+
+
+def _data(n=200, seed=0):
+    x, y = gpf.synth_se(n=n, lengthscale=0.2, noise_sd=0.3, seed=seed)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_gram_matvec_matches_dense():
+    x, _ = _data(150)
+    V = jnp.asarray(np.random.default_rng(0).standard_normal((150, 3)))
+    got = np.asarray(gram_matvec(K_SE, P_SE, x, V, block=64))
+    want = np.asarray(K_SE.gram(P_SE, x, x) @ V)
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_mbcg_solves_match_direct():
+    x, y = _data(100)
+    K = K_SE.gram(P_SE, x, x)
+    Kn = np.asarray(K) + 0.3 * np.eye(100)
+    B = jnp.stack([y, y * 2.0], axis=1)
+    res = mbcg(lambda V: K @ V + 0.3 * V, B, max_iters=200, tol=1e-12)
+    want = np.linalg.solve(Kn, np.asarray(B))
+    np.testing.assert_allclose(np.asarray(res.solves), want, atol=1e-6)
+
+
+def test_slq_logdet_accuracy(key):
+    x, _ = _data(150)
+    K = K_SE.gram(P_SE, x, x)
+    noise = 0.3
+    Kn = np.asarray(K) + noise * np.eye(150)
+    want = np.linalg.slogdet(Kn)[1]
+    z = jr.rademacher(key, (150, 32)).astype(x.dtype)
+    res = mbcg(lambda V: K @ V + noise * V, z, max_iters=150, tol=1e-12)
+    got = float(slq_logdet(res.alphas, res.betas, jnp.sum(z * z, 0), 150))
+    np.testing.assert_allclose(got, want, rtol=0.05)
+
+
+def test_lowrank_vjp_matches_dense_vjp():
+    x, _ = _data(120)
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal((120, 4)))
+    W = jnp.asarray(rng.standard_normal((120, 4)))
+
+    def total_dense(p):
+        return jnp.sum(K_SE.gram(p, x, x) * (U @ W.T))
+
+    g_dense = jax.grad(total_dense)(P_SE)
+    g_lr = lowrank_gram_vjp(K_SE, P_SE, x, U, W, block=32)
+    np.testing.assert_allclose(
+        float(g_lr["lengthscale"]), float(g_dense["lengthscale"]), rtol=1e-8
+    )
+
+
+def test_iterative_nll_and_grad_match_cholesky(key):
+    x, y = _data(150)
+    noise = 0.3
+
+    def exact(p):
+        return chol.nll(K_SE.gram(p, x, x), y, noise, 0.0)
+
+    val_e, g_e = jax.value_and_grad(exact)(P_SE)
+    nll, g, gn, resid = iterative_nll_and_grad(
+        K_SE, P_SE, x, y, noise, key,
+        num_probes=32, max_iters=150, block=64,
+    )
+    assert float(jnp.max(resid)) < 1e-4
+    np.testing.assert_allclose(float(nll), float(val_e), rtol=0.02)
+    np.testing.assert_allclose(
+        float(g["lengthscale"]), float(g_e["lengthscale"]), rtol=0.15
+    )
+
+
+def test_fit_iterative_learns(key):
+    x, y = _data(300, seed=1)
+    kp, noise, hist = fit_iterative(
+        gpf.SquaredExponentialKernel(scaled=True), x, y, key,
+        steps=40, lr=0.1, num_probes=8, max_iters=100, block=128,
+    )
+    assert hist[-1] < hist[0]
+    assert 0.02 < float(kp["lengthscale"]) < 1.0
+
+
+def test_iterative_posterior_mean_matches_exact():
+    x, y = _data(150)
+    xs = jnp.linspace(0, 1, 40)[:, None].astype(x.dtype)
+    noise = 0.3
+    mu_it = iterative_posterior_mean(
+        K_SE, P_SE, x, y, xs, noise, max_iters=300, block=64
+    )
+    st = chol.factor(K_SE.gram(P_SE, x, x), y, noise, 0.0)
+    mu_ex = chol.posterior_mean(st, K_SE.gram(P_SE, x, xs))
+    np.testing.assert_allclose(np.asarray(mu_it), np.asarray(mu_ex), atol=1e-5)
