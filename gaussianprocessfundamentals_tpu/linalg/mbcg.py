@@ -135,60 +135,3 @@ def slq_logdet(
 
     vals = jax.vmap(one, in_axes=(1, 1, 0))(diag, off, z_norms2)
     return jnp.mean(vals)
-
-
-def iterative_nll_value_and_grad(
-    gram_matvec: Callable[[jnp.ndarray], jnp.ndarray],
-    gram_vjp: Callable[[jnp.ndarray], tuple],
-    diag_sum: jnp.ndarray,
-    y: jnp.ndarray,
-    noise,
-    key,
-    num_probes: int = 8,
-    max_iters: int = 100,
-    tol: float = 1e-8,
-    precond: Optional[Callable] = None,
-    precond_logdet: Optional[jnp.ndarray] = None,
-    precond_cotangent: Optional[jnp.ndarray] = None,
-):
-    """NLL value + params-gradient without any factorisation.
-
-    ``gram_matvec(V)`` = K·V for V [n, r] (K WITHOUT noise); ``gram_vjp``
-    is the VJP of the Gram *builder* w.r.t. kernel params, taking an [n, n]
-    cotangent (only evaluated once, on the low-rank probe estimate);
-    ``diag_sum`` = tr(K) (for the probe-free part of the noise gradient).
-
-    Returns (nll, grad_params, grad_noise, diagnostics).
-    """
-    import jax.random as jr
-
-    from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
-
-    n = y.shape[0]
-    noise = jnp.asarray(noise, y.dtype)
-    Anv = lambda V: gram_matvec(V) + noise * V
-
-    z = jr.rademacher(key, (n, num_probes)).astype(y.dtype)
-    B = jnp.concatenate([y[:, None], z], axis=1)
-    res = mbcg(Anv, B, max_iters=max_iters, tol=tol, precond=precond)
-    alpha = res.solves[:, 0]
-    zhat = res.solves[:, 1:]
-
-    # logdet via SLQ on the probe columns (unpreconditioned recurrence when
-    # precond is None; with a preconditioner the estimate is of the
-    # preconditioned operator and ``precond_logdet`` must supply log|P|)
-    z_norms2 = jnp.sum(z * z, axis=0)
-    logdet = slq_logdet(res.alphas[:, 1:], res.betas[:, 1:], z_norms2, n)
-    if precond_logdet is not None:
-        logdet = logdet + precond_logdet
-
-    nll = 0.5 * jnp.dot(y, alpha) + 0.5 * logdet + 0.5 * n * LOG_2PI
-
-    # gradient: cot_K = ½(E[sym(ẑ zᵀ)] − ααᵀ) (+ exact control variate)
-    est = (zhat @ z.T + z @ zhat.T) / (2.0 * num_probes)
-    if precond_cotangent is not None:
-        est = est + precond_cotangent
-    cot = 0.5 * (est - jnp.outer(alpha, alpha))
-    (grad_params,) = gram_vjp(cot)
-    grad_noise = 0.5 * (jnp.trace(est) - jnp.dot(alpha, alpha))
-    return nll, grad_params, grad_noise, {"resid": res.resid_norm}

@@ -63,12 +63,6 @@ def iterative_nll_and_grad(
     """
     from jax.scipy.linalg import solve_triangular
 
-    from gaussianprocessfundamentals_tpu.linalg.nystroem import (
-        nystroem_factor,
-        nystroem_logdet,
-        woodbury_solve,
-    )
-
     n = x.shape[0]
     noise = jnp.asarray(noise, x.dtype)
     matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
@@ -78,13 +72,33 @@ def iterative_nll_and_grad(
     if precond_m > 0:
         m = min(precond_m, n)
         z_ind = x[:: max(1, n // m)][:m]
-        ny = nystroem_factor(kernel, kernel_params, x, z_ind, noise, 1e-6)
-        P_inv = lambda V: woodbury_solve(ny, V)
-        log_P = nystroem_logdet(ny, n)
+        # inline Nyström factor with f32-safe jitter + NaN fallback: K_mm is
+        # often near-singular (smooth kernels, close inducing points) and a
+        # failed f32 chol must degrade to P = σ²I, not poison the run
+        K_mm = kernel.gram(kernel_params, z_ind, z_ind)
+        K_nm = kernel.gram(kernel_params, x, z_ind)
+        jit_m = 1e-3 * jnp.mean(jnp.diagonal(K_mm)) + 1e-12
+        L_mm = jnp.linalg.cholesky(K_mm + jit_m * jnp.eye(m, dtype=x.dtype))
+        A = solve_triangular(L_mm, K_nm.T, lower=True).T  # [n, m], P=σ²I+AAᵀ
+        A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
+        core = noise * jnp.eye(m, dtype=x.dtype) + A.T @ A
+        L_core = jnp.linalg.cholesky(core)
+
+        def P_inv(V):
+            vec = V.ndim == 1
+            Vm = V[:, None] if vec else V
+            t = solve_triangular(L_core, A.T @ Vm, lower=True)
+            t = solve_triangular(L_core, t, lower=True, trans=1)
+            out = (Vm - A @ t) / noise
+            return out[:, 0] if vec else out
+
+        log_P = (n - m) * jnp.log(noise) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L_core))
+        )
         # z ~ N(0, P): cov(σu + Aw) = σ²I + AAᵀ = P
         u = jr.normal(key_u, (n, s), x.dtype)
         w = jr.normal(key_w, (m, s), x.dtype)
-        z = jnp.sqrt(noise) * u + ny.A @ w
+        z = jnp.sqrt(noise) * u + A @ w
         zt = P_inv(z)  # P⁻¹z (also the SLQ e₁ weights zᵀP⁻¹z)
         z_weights = jnp.sum(z * zt, axis=0)
     else:
@@ -104,15 +118,40 @@ def iterative_nll_and_grad(
     )
     nll = 0.5 * jnp.dot(y, alpha) + 0.5 * logdet + 0.5 * n * LOG_2PI
 
-    # cot_K = ½(sym(Ẑ Ztᵀ)/s − ααᵀ) = U·Wᵀ, rank 2s+1 — streamed contraction
-    # (sym(M) = (M+Mᵀ)/2, so each probe outer product carries 1/(4s));
-    # Zt = P⁻¹Z pairs with Ẑ = Kₙ⁻¹Z so the expectation is Kₙ⁻¹.
-    U = jnp.concatenate(
-        [zhat / (4.0 * s), zt / (4.0 * s), -0.5 * alpha[:, None]], axis=1
-    )
-    W = jnp.concatenate([zt, zhat, alpha[:, None]], axis=1)
-    grad_params = lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
-    trace_est = jnp.mean(jnp.sum(zt * zhat, axis=0))
+    # gradient cotangent ½(Kₙ⁻¹ − ααᵀ), with P⁻¹ as an exact low-rank
+    # CONTROL VARIATE when preconditioned:
+    #   Kₙ⁻¹ = P⁻¹ + E[sym((Ẑ−P⁻¹Z)(P⁻¹Z)ᵀ)]     (E[ZZᵀ] = P)
+    #   P⁻¹  = I/σ² − G·Gᵀ,  G = A·L_core⁻ᵀ/σ
+    # so the probes only carry the (small) residual Kₙ⁻¹ − P⁻¹ and every
+    # term is low-rank or diagonal → streamed contraction, never n².
+    if precond_m > 0:
+        G = solve_triangular(L_core, A.T, lower=True).T / jnp.sqrt(noise)
+        rhat = zhat - zt  # (Kₙ⁻¹ − P⁻¹)Z
+        U = jnp.concatenate(
+            [rhat / (4.0 * s), zt / (4.0 * s), -0.5 * G,
+             -0.5 * alpha[:, None]], axis=1,
+        )
+        W = jnp.concatenate([zt, rhat, G, alpha[:, None]], axis=1)
+        # diagonal I/(2σ²) term contracts to (1/2σ²)·∂tr(K)/∂θ
+        diag_grad = jax.grad(
+            lambda p: jnp.sum(kernel.diag(p, x)) / (2.0 * noise)
+        )(kernel_params)
+        grad_params = lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
+        grad_params = jax.tree_util.tree_map(
+            lambda a, b: a + b, grad_params, diag_grad
+        )
+        trace_est = (
+            n / noise
+            - jnp.sum(G * G)
+            + jnp.mean(jnp.sum(zt * rhat, axis=0))
+        )
+    else:
+        U = jnp.concatenate(
+            [zhat / (4.0 * s), zt / (4.0 * s), -0.5 * alpha[:, None]], axis=1
+        )
+        W = jnp.concatenate([zt, zhat, alpha[:, None]], axis=1)
+        grad_params = lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
+        trace_est = jnp.mean(jnp.sum(zt * zhat, axis=0))
     grad_noise = 0.5 * (trace_est - jnp.dot(alpha, alpha))
     return nll, grad_params, grad_noise, res.resid_norm
 

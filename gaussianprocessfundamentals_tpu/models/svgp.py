@@ -154,7 +154,9 @@ def fit_svgp(
 
     def step(carry, k):
         p, st = carry
-        idx = jr.choice(k, n, (batch_size,), replace=False)
+        # with-replacement sampling: O(batch) per step (choice without
+        # replacement would permute all n points every minibatch)
+        idx = jr.randint(k, (batch_size,), 0, n)
         loss, g = jax.value_and_grad(loss_fn)(p, x[idx], y[idx])
         updates, st = opt.update(g, st, p)
         p = optax.apply_updates(p, updates)
