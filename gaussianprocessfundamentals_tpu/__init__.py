@@ -74,6 +74,11 @@ from gaussianprocessfundamentals_tpu.models.svgp import (
     svgp_elbo,
     svgp_predict,
 )
+from gaussianprocessfundamentals_tpu.models.iterative import (
+    fit_iterative,
+    iterative_nll_and_grad,
+    iterative_posterior_mean,
+)
 from gaussianprocessfundamentals_tpu.mcmc.hmc import hmc, hmc_chains
 from gaussianprocessfundamentals_tpu.mcmc.nuts import nuts, nuts_chains
 from gaussianprocessfundamentals_tpu.data.datasets import (

@@ -135,3 +135,29 @@ def slq_logdet(
 
     vals = jax.vmap(one, in_axes=(1, 1, 0))(diag, off, z_norms2)
     return jnp.mean(vals)
+
+
+def slq_logdet_host(alphas, betas, z_weights, n: int) -> float:
+    """Host-side (NumPy) SLQ — identical math to :func:`slq_logdet` on tiny
+    t×t tridiagonals. Exists because ``jnp.linalg.eigh`` inside a jitted TPU
+    program costs minutes of compile time for matrices this small; the
+    O(t³·s) host work is microseconds."""
+    import numpy as np
+
+    a = np.asarray(alphas, np.float64)
+    b = np.asarray(betas, np.float64)
+    zw = np.asarray(z_weights, np.float64)
+    safe_a = np.where(a != 0, a, 1.0)
+    prev_ba = np.concatenate([np.zeros_like(a[:1]), b[:-1] / safe_a[:-1]], 0)
+    diag = 1.0 / safe_a + prev_ba
+    off = np.sqrt(np.maximum(b, 0.0)) / safe_a
+    dead = a == 0
+    diag = np.where(dead, 1.0, diag)
+    off = np.where(dead, 0.0, off)[:-1]
+    vals = []
+    for i in range(a.shape[1]):
+        T = np.diag(diag[:, i]) + np.diag(off[:, i], 1) + np.diag(off[:, i], -1)
+        w, V = np.linalg.eigh(T)
+        w = np.maximum(w, 1e-300)
+        vals.append(zw[i] * float(np.sum(V[0, :] ** 2 * np.log(w))))
+    return float(np.mean(vals))

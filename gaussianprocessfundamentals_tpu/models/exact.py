@@ -138,6 +138,23 @@ class GaussianProcess:
     def fit(self, x_train=None, y_train=None, **kwargs) -> FitResult:
         if x_train is not None:
             self.set_data(x_train, y_train)
+        if kwargs.get("method") == "iterative":
+            # factorisation-free large-N path (models.iterative)
+            import jax.random as jr
+
+            from gaussianprocessfundamentals_tpu.models.iterative import (
+                fit_iterative,
+            )
+
+            kwargs.pop("method")
+            key = kwargs.pop("key", jr.PRNGKey(0))
+            kp, noise, hist = fit_iterative(
+                self.kernel, self.x_train, self.y_train, key,
+                config=self.config, **kwargs,
+            )
+            self.kernel_params, self.noise = kp, noise
+            self.mean_params = {}
+            return FitResult(kp, {}, noise, float(hist[0]), float(hist[-1]), hist)
         res = _fit(
             self.kernel, self.x_train, self.y_train,
             mean=self.mean, config=self.config, **kwargs,

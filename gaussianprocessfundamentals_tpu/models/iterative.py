@@ -33,11 +33,21 @@ from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
 )
 
 
+def _cot_vjp(kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp):
+    """Contract the low-rank cotangent U·Wᵀ with ∂K/∂θ: densely through the
+    already-taken Gram VJP when K is materialised (simple program, fast
+    compile), streamed in row blocks otherwise."""
+    if dense_gram_vjp is not None:
+        (g,) = dense_gram_vjp(jnp.matmul(U, W.T, precision=hp))
+        return g
+    return lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
+
+
 @partial(
     jax.jit,
     static_argnames=("kernel", "num_probes", "max_iters", "block", "precond_m"),
 )
-def iterative_nll_and_grad(
+def _iterative_core(
     kernel,
     kernel_params: Any,
     x: jnp.ndarray,
@@ -65,7 +75,19 @@ def iterative_nll_and_grad(
 
     n = x.shape[0]
     noise = jnp.asarray(noise, x.dtype)
-    matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+    hp = jax.lax.Precision.HIGHEST
+    # below ~40k (f32) K fits in HBM: build it once outside the CG loop and
+    # use plain matmuls (deterministic; above, stream row panels per matvec —
+    # K never exists, at the price of rebuilding Gram tiles each iteration)
+    materialize = n <= 40_000
+    if materialize:
+        K, dense_gram_vjp = jax.vjp(lambda p: kernel.gram(p, x, x), kernel_params)
+        matvec = lambda V: jnp.matmul(K, V, precision=hp) + noise * V
+    else:
+        dense_gram_vjp = None
+        matvec = (
+            lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+        )
     s = num_probes
     key_u, key_w = jr.split(key)
 
@@ -81,15 +103,18 @@ def iterative_nll_and_grad(
         L_mm = jnp.linalg.cholesky(K_mm + jit_m * jnp.eye(m, dtype=x.dtype))
         A = solve_triangular(L_mm, K_nm.T, lower=True).T  # [n, m], P=σ²I+AAᵀ
         A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
-        core = noise * jnp.eye(m, dtype=x.dtype) + A.T @ A
+        hp = jax.lax.Precision.HIGHEST
+        core = noise * jnp.eye(m, dtype=x.dtype) + jnp.matmul(A.T, A, precision=hp)
         L_core = jnp.linalg.cholesky(core)
 
         def P_inv(V):
             vec = V.ndim == 1
             Vm = V[:, None] if vec else V
-            t = solve_triangular(L_core, A.T @ Vm, lower=True)
+            t = solve_triangular(
+                L_core, jnp.matmul(A.T, Vm, precision=hp), lower=True
+            )
             t = solve_triangular(L_core, t, lower=True, trans=1)
-            out = (Vm - A @ t) / noise
+            out = (Vm - jnp.matmul(A, t, precision=hp)) / noise
             return out[:, 0] if vec else out
 
         log_P = (n - m) * jnp.log(noise) + 2.0 * jnp.sum(
@@ -98,7 +123,7 @@ def iterative_nll_and_grad(
         # z ~ N(0, P): cov(σu + Aw) = σ²I + AAᵀ = P
         u = jr.normal(key_u, (n, s), x.dtype)
         w = jr.normal(key_w, (m, s), x.dtype)
-        z = jnp.sqrt(noise) * u + A @ w
+        z = jnp.sqrt(noise) * u + jnp.matmul(A, w, precision=hp)
         zt = P_inv(z)  # P⁻¹z (also the SLQ e₁ weights zᵀP⁻¹z)
         z_weights = jnp.sum(z * zt, axis=0)
     else:
@@ -113,10 +138,7 @@ def iterative_nll_and_grad(
     alpha = res.solves[:, 0]
     zhat = res.solves[:, 1:]
 
-    logdet = log_P + slq_logdet(
-        res.alphas[:, 1:], res.betas[:, 1:], z_weights, n
-    )
-    nll = 0.5 * jnp.dot(y, alpha) + 0.5 * logdet + 0.5 * n * LOG_2PI
+    data_fit = jnp.dot(y, alpha)
 
     # gradient cotangent ½(Kₙ⁻¹ − ααᵀ), with P⁻¹ as an exact low-rank
     # CONTROL VARIATE when preconditioned:
@@ -136,7 +158,9 @@ def iterative_nll_and_grad(
         diag_grad = jax.grad(
             lambda p: jnp.sum(kernel.diag(p, x)) / (2.0 * noise)
         )(kernel_params)
-        grad_params = lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
+        grad_params = _cot_vjp(
+            kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp
+        )
         grad_params = jax.tree_util.tree_map(
             lambda a, b: a + b, grad_params, diag_grad
         )
@@ -150,10 +174,43 @@ def iterative_nll_and_grad(
             [zhat / (4.0 * s), zt / (4.0 * s), -0.5 * alpha[:, None]], axis=1
         )
         W = jnp.concatenate([zt, zhat, alpha[:, None]], axis=1)
-        grad_params = lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
+        grad_params = _cot_vjp(
+            kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp
+        )
         trace_est = jnp.mean(jnp.sum(zt * zhat, axis=0))
     grad_noise = 0.5 * (trace_est - jnp.dot(alpha, alpha))
-    return nll, grad_params, grad_noise, res.resid_norm
+    return (
+        data_fit, log_P, res.alphas[:, 1:], res.betas[:, 1:], z_weights,
+        grad_params, grad_noise, res.resid_norm,
+    )
+
+
+def iterative_nll_and_grad(
+    kernel, kernel_params, x, y, noise, key,
+    num_probes: int = 8, max_iters: int = 100, block: int = 2048,
+    tol: float = 1e-6, precond_m: int = 128,
+):
+    """(nll, grad_kernel_params, grad_noise, resid) — see :func:`_iterative_core`.
+
+    The O(t³·s) SLQ eigensolves run host-side (``slq_logdet_host``): tiny in
+    FLOPs but minutes of TPU *compile* time if jitted. Everything O(n) stays
+    on device; only CG scalars (t×s) cross the host boundary.
+    """
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import slq_logdet_host
+
+    n = x.shape[0]
+    data_fit, log_P, al, be, zw, grad_params, grad_noise, resid = _iterative_core(
+        kernel, kernel_params, x, y, noise, key,
+        num_probes, max_iters, block, tol, precond_m,
+    )
+    # ONE batched device→host transfer (each separate float() costs a full
+    # round trip, expensive over a tunnelled device)
+    data_fit_h, log_P_h, al_h, be_h, zw_h = jax.device_get(
+        (data_fit, log_P, al, be, zw)
+    )
+    logdet = float(log_P_h) + slq_logdet_host(al_h, be_h, zw_h, n)
+    nll = 0.5 * float(data_fit_h) + 0.5 * logdet + 0.5 * n * LOG_2PI
+    return jnp.asarray(nll, x.dtype), grad_params, grad_noise, resid
 
 
 def fit_iterative(
@@ -183,8 +240,9 @@ def fit_iterative(
     opt = optax.adam(lr)
     opt_state = opt.init(u)
 
-    @jax.jit
     def step_fn(u, opt_state, k):
+        # not jitted as a whole: iterative_nll_and_grad's core is jitted and
+        # the SLQ piece is host-side; the optimizer update below is tiny
         kp = constrain(pos, u["kernel"])
         noise = (
             jnp.exp(u["log_noise"])

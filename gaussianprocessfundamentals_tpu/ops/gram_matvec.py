@@ -44,7 +44,8 @@ def gram_matvec(
     @jax.checkpoint
     def one(xb):
         Kb = kernel.gram(params, xb, x)  # [block, n]
-        return Kb @ V
+        # full-f32 matmul: TPU default (bf16) floors CG residuals at ~1e-2
+        return jnp.matmul(Kb, V, precision=jax.lax.Precision.HIGHEST)
 
     out = jax.lax.map(one, x_blocks)  # [nb, block, r]
     return out.reshape(nb * block, -1)[:n]
@@ -76,7 +77,8 @@ def lowrank_gram_vjp(
         def one(args):
             xb, ub = args
             Kb = kernel.gram(p, xb, x)  # [block, n]
-            return jnp.sum(Kb * (ub @ W.T))
+            cot_b = jnp.matmul(ub, W.T, precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum(Kb * cot_b)
 
         return jnp.sum(jax.lax.map(one, (x_blocks, U_blocks)))
 
