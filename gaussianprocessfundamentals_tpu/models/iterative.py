@@ -45,7 +45,10 @@ def _cot_vjp(kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp):
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "num_probes", "max_iters", "block", "precond_m"),
+    static_argnames=(
+        "kernel", "num_probes", "max_iters", "block", "precond_m",
+        "mesh", "mesh_axis",
+    ),
 )
 def _iterative_core(
     kernel,
@@ -59,6 +62,8 @@ def _iterative_core(
     block: int = 2048,
     tol: float = 1e-6,
     precond_m: int = 128,
+    mesh=None,
+    mesh_axis: str = "tp",
 ):
     """(nll, grad_kernel_params, grad_noise, resid) without forming K.
 
@@ -71,6 +76,23 @@ def _iterative_core(
       * the Kₙ⁻¹ trace estimator pairs P⁻¹z with Kₙ⁻¹z
         (E[(P⁻¹z)(Kₙ⁻¹z)ᵀ] = Kₙ⁻¹ since E[zzᵀ] = P).
     """
+    def shard_rows(a):
+        # row-shard [n, ...] arrays over the mesh when one is given
+        if mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec(mesh_axis, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    def replicate(a):
+        if mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec(*([None] * a.ndim))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
     from jax.scipy.linalg import solve_triangular
 
     n = x.shape[0]
@@ -79,10 +101,13 @@ def _iterative_core(
     # below ~40k (f32) K fits in HBM: build it once outside the CG loop and
     # use plain matmuls (deterministic; above, stream row panels per matvec —
     # K never exists, at the price of rebuilding Gram tiles each iteration)
-    materialize = n <= 40_000
+    materialize = n <= 40_000 or mesh is not None
     if materialize:
-        K, dense_gram_vjp = jax.vjp(lambda p: kernel.gram(p, x, x), kernel_params)
-        matvec = lambda V: jnp.matmul(K, V, precision=hp) + noise * V
+        # with a mesh, K is built and held as row panels: n²/P per chip
+        K, dense_gram_vjp = jax.vjp(
+            lambda p: shard_rows(kernel.gram(p, x, x)), kernel_params
+        )
+        matvec = lambda V: replicate(jnp.matmul(K, V, precision=hp)) + noise * V
     else:
         dense_gram_vjp = None
         matvec = (
@@ -102,7 +127,7 @@ def _iterative_core(
         jit_m = 1e-3 * jnp.mean(jnp.diagonal(K_mm)) + 1e-12
         L_mm = jnp.linalg.cholesky(K_mm + jit_m * jnp.eye(m, dtype=x.dtype))
         A = solve_triangular(L_mm, K_nm.T, lower=True).T  # [n, m], P=σ²I+AAᵀ
-        A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
+        A = shard_rows(jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A)))
         hp = jax.lax.Precision.HIGHEST
         core = noise * jnp.eye(m, dtype=x.dtype) + jnp.matmul(A.T, A, precision=hp)
         L_core = jnp.linalg.cholesky(core)
@@ -188,7 +213,7 @@ def _iterative_core(
 def iterative_nll_and_grad(
     kernel, kernel_params, x, y, noise, key,
     num_probes: int = 8, max_iters: int = 100, block: int = 2048,
-    tol: float = 1e-6, precond_m: int = 128,
+    tol: float = 1e-6, precond_m: int = 128, mesh=None, mesh_axis: str = "tp",
 ):
     """(nll, grad_kernel_params, grad_noise, resid) — see :func:`_iterative_core`.
 
@@ -201,7 +226,7 @@ def iterative_nll_and_grad(
     n = x.shape[0]
     data_fit, log_P, al, be, zw, grad_params, grad_noise, resid = _iterative_core(
         kernel, kernel_params, x, y, noise, key,
-        num_probes, max_iters, block, tol, precond_m,
+        num_probes, max_iters, block, tol, precond_m, mesh, mesh_axis,
     )
     # ONE batched device→host transfer (each separate float() costs a full
     # round trip, expensive over a tunnelled device)
@@ -228,8 +253,11 @@ def fit_iterative(
     init_noise: float = 1e-2,
     xrange=None,
     callback=None,
+    mesh=None,
+    mesh_axis: str = "tp",
 ):
-    """Adam over the iterative NLL — exact-GP fitting at N=100k+ scale."""
+    """Adam over the iterative NLL — exact-GP fitting at N=100k+ scale.
+    With ``mesh``, K row panels shard over ``mesh_axis`` (multi-chip)."""
     if xrange is None:
         xrange = jnp.stack([x.min(axis=0), x.max(axis=0)], axis=-1)
     pos = kernel.positivity()
@@ -250,7 +278,8 @@ def fit_iterative(
             else jnp.asarray(init_noise, x.dtype)
         )
         nll, g_kp, g_noise, resid = iterative_nll_and_grad(
-            kernel, kp, x, y, noise, k, num_probes, max_iters, block
+            kernel, kp, x, y, noise, k, num_probes, max_iters, block,
+            mesh=mesh, mesh_axis=mesh_axis,
         )
         g_u = {
             "kernel": jax.tree_util.tree_map(
@@ -292,3 +321,23 @@ def iterative_posterior_mean(
         lambda xb: kernel.gram(kernel_params, xb, x) @ alpha, blocks
     ).reshape(-1)[: x_test.shape[0]]
     return mu
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "block"))
+def iterative_posterior(
+    kernel, kernel_params, x, y, x_test, noise,
+    max_iters: int = 200, block: int = 2048, tol: float = 1e-8,
+):
+    """(μ*, var*) via batched CG: one mBCG solve against [y | K_s] gives the
+    posterior mean and the marginal variances
+    var_i = k_ii − K_s[:,i]ᵀ·Kₙ⁻¹·K_s[:,i] without any factorisation."""
+    noise = jnp.asarray(noise, x.dtype)
+    matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+    K_s = kernel.gram(kernel_params, x, x_test)  # [n, t]
+    B = jnp.concatenate([y[:, None], K_s], axis=1)
+    res = mbcg(matvec, B, max_iters=max_iters, tol=tol)
+    alpha = res.solves[:, 0]
+    V = res.solves[:, 1:]  # Kₙ⁻¹ K_s
+    mu = K_s.T @ alpha
+    var = kernel.diag(kernel_params, x_test) - jnp.sum(K_s * V, axis=0)
+    return mu, jnp.maximum(var, 0.0)

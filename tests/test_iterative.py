@@ -111,3 +111,23 @@ def test_iterative_posterior_mean_matches_exact():
     st = chol.factor(K_SE.gram(P_SE, x, x), y, noise, 0.0)
     mu_ex = chol.posterior_mean(st, K_SE.gram(P_SE, x, xs))
     np.testing.assert_allclose(np.asarray(mu_it), np.asarray(mu_ex), atol=1e-5)
+
+
+def test_iterative_posterior_variance_matches_exact():
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_posterior,
+    )
+
+    x, y = _data(150)
+    xs = jnp.linspace(0, 1, 30)[:, None].astype(x.dtype)
+    noise = 0.3
+    mu_it, var_it = iterative_posterior(
+        K_SE, P_SE, x, y, xs, noise, max_iters=300, block=64
+    )
+    st = chol.factor(K_SE.gram(P_SE, x, x), y, noise, 0.0)
+    mu_ex = chol.posterior_mean(st, K_SE.gram(P_SE, x, xs))
+    var_ex = chol.posterior_var(
+        st, K_SE.gram(P_SE, x, xs), K_SE.diag(P_SE, xs)
+    )
+    np.testing.assert_allclose(np.asarray(mu_it), np.asarray(mu_ex), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_it), np.asarray(var_ex), atol=1e-5)

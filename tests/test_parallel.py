@@ -114,3 +114,31 @@ def test_hmc_chains_shard_over_mesh(key):
     assert s.shape[0] == 8
     np.testing.assert_allclose(s.mean(), 0.0, atol=0.2)
     np.testing.assert_allclose(s.std(), 1.0, atol=0.2)
+
+
+def test_iterative_nll_mesh_sharded(key):
+    """Mesh-sharded iterative exact GP matches the single-device result and
+    actually shards the K panels (multi-chip large-N path)."""
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_nll_and_grad,
+    )
+
+    x, y = gpf.synth_se(n=96, lengthscale=0.2, noise_sd=0.3, seed=0)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    nll0, g0, gn0, r0 = iterative_nll_and_grad(
+        k, p, x, y, 0.3, key, num_probes=8, max_iters=120, block=32
+    )
+    mesh = single_axis_mesh("tp")
+    with mesh:
+        nll1, g1, gn1, r1 = iterative_nll_and_grad(
+            k, p, x, y, 0.3, key, num_probes=8, max_iters=120, block=32,
+            mesh=mesh,
+        )
+    np.testing.assert_allclose(float(nll1), float(nll0), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(g1["lengthscale"]), float(g0["lengthscale"]), rtol=1e-4
+    )
