@@ -59,26 +59,30 @@ def _trailing_ones(n):
     return c
 
 
-def _is_turning(q_l, p_l, q_r, p_r):
+def _is_turning(q_l, p_l, q_r, p_r, inv_mass):
+    # velocities v = M⁻¹p; with diagonal mass M = diag(1/inv_mass)
     dq = q_r - q_l
-    return jnp.logical_or(jnp.dot(dq, p_l) < 0.0, jnp.dot(dq, p_r) < 0.0)
+    return jnp.logical_or(
+        jnp.dot(dq, inv_mass * p_l) < 0.0, jnp.dot(dq, inv_mass * p_r) < 0.0
+    )
 
 
 def _nuts_kernel(logprob_grad_flat: Callable, max_depth: int):
     """One NUTS transition over flat vectors."""
 
-    def leapfrog(q, p, g, eps):
-        p_half = p + 0.5 * eps * g
-        q_new = q + eps * p_half
-        lp_new, g_new = logprob_grad_flat(q_new)
-        p_new = p_half + 0.5 * eps * g_new
-        return q_new, p_new, g_new, lp_new
+    def transition(key, q0, lp0, g0, eps, inv_mass):
+        def leapfrog(q, p, g, eps_):
+            p_half = p + 0.5 * eps_ * g
+            q_new = q + eps_ * inv_mass * p_half
+            lp_new, g_new = logprob_grad_flat(q_new)
+            p_new = p_half + 0.5 * eps_ * g_new
+            return q_new, p_new, g_new, lp_new
 
-    def transition(key, q0, lp0, g0, eps):
         dim = q0.shape[0]
         key_mom, key_dir, key_tree = jr.split(key, 3)
-        p0 = jr.normal(key_mom, (dim,), q0.dtype)
-        energy0 = lp0 - 0.5 * jnp.dot(p0, p0)  # log joint at start
+        # p ~ N(0, M), M = diag(1/inv_mass); KE = ½ pᵀ·inv_mass·p
+        p0 = jr.normal(key_mom, (dim,), q0.dtype) / jnp.sqrt(inv_mass)
+        energy0 = lp0 - 0.5 * jnp.dot(p0, inv_mass * p0)
 
         # whole-trajectory state
         # candidate sample (multinomial), tree log-weight, extremes
@@ -120,7 +124,7 @@ def _nuts_kernel(logprob_grad_flat: Callable, max_depth: int):
             def leaf_body(i, sub):
                 def do(sub):
                     q, p, g, lp = leapfrog(sub["q"], sub["p"], sub["g"], eps_d)
-                    logw_leaf = lp - 0.5 * jnp.dot(p, p) - energy0
+                    logw_leaf = lp - 0.5 * jnp.dot(p, inv_mass * p) - energy0
                     logw_leaf = jnp.where(
                         jnp.isnan(logw_leaf), -jnp.inf, logw_leaf
                     )
@@ -159,7 +163,7 @@ def _nuts_kernel(logprob_grad_flat: Callable, max_depth: int):
 
                         def scan_k(k, turning):
                             valid = jnp.logical_and(k >= idx_min, k <= idx_max)
-                            turn_k = _is_turning(ck_q[k], ck_p[k], q, p)
+                            turn_k = _is_turning(ck_q[k], ck_p[k], q, p, inv_mass)
                             return jnp.logical_or(
                                 turning, jnp.logical_and(valid, turn_k)
                             )
@@ -238,7 +242,9 @@ def _nuts_kernel(logprob_grad_flat: Callable, max_depth: int):
                 jnp.where(direction > 0, sub["g"], state["g_right"]),
                 state["g_right"],
             )
-            turning_global = _is_turning(q_left, p_left, q_right, p_right)
+            turning_global = _is_turning(
+                q_left, p_left, q_right, p_right, inv_mass
+            )
             state = dict(
                 q_cand=q_cand, lp_cand=lp_cand, logw_tree=logw_tree,
                 q_left=q_left, p_left=p_left, g_left=g_left,
@@ -293,40 +299,60 @@ def nuts(
     transition = _nuts_kernel(lpg, max_depth)
 
     lp0, g0 = lpg(q0_flat)
+    dim = q0_flat.shape[0]
 
-    # dual-averaging warmup
+    # two-phase warmup: (1) step size with identity mass while accumulating
+    # Welford moments of q; (2) diagonal mass from the phase-1 variance
+    # (Stan-style regularisation), step size re-adapted
     mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    def warmup_step(carry, key):
-        q, lp, g, log_eps, log_eps_bar, h_bar, t = carry
-        eps = jnp.exp(log_eps)
-        q_new, lp_new, accept, _, _ = _run_transition(transition, key, q, lp, g, eps)
-        g_new = lpg(q_new)[1]
-        t = t + 1.0
-        eta = 1.0 / (t + t0)
-        h_bar = (1.0 - eta) * h_bar + eta * (target_accept - accept)
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (q_new, lp_new, g_new, log_eps, log_eps_bar, h_bar, t), None
+    def make_warmup_step(inv_mass):
+        def warmup_step(carry, key):
+            q, lp, g, log_eps, log_eps_bar, h_bar, t, w_mean, w_m2 = carry
+            eps = jnp.exp(log_eps)
+            q_new, lp_new, accept, _, _ = transition(key, q, lp, g, eps, inv_mass)
+            g_new = lpg(q_new)[1]
+            t = t + 1.0
+            eta = 1.0 / (t + t0)
+            h_bar = (1.0 - eta) * h_bar + eta * (target_accept - accept)
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            delta = q_new - w_mean
+            w_mean = w_mean + delta / t
+            w_m2 = w_m2 + delta * (q_new - w_mean)
+            return (q_new, lp_new, g_new, log_eps, log_eps_bar, h_bar, t,
+                    w_mean, w_m2), None
+        return warmup_step
 
-    init_carry = (
-        q0_flat, lp0, g0,
-        jnp.log(jnp.asarray(init_step_size, q0_flat.dtype)),
-        jnp.log(jnp.asarray(init_step_size, q0_flat.dtype)),
-        jnp.zeros((), q0_flat.dtype), jnp.zeros((), q0_flat.dtype),
+    ones = jnp.ones((dim,), q0_flat.dtype)
+    log_e0 = jnp.log(jnp.asarray(init_step_size, q0_flat.dtype))
+    zeros = jnp.zeros((dim,), q0_flat.dtype)
+    n1 = max(num_warmup // 2, 1)
+    n2 = max(num_warmup - n1, 1)
+    init1 = (q0_flat, lp0, g0, log_e0, log_e0,
+             jnp.zeros((), q0_flat.dtype), jnp.zeros((), q0_flat.dtype),
+             zeros, zeros)
+    (q, lp, g, _, log_eps_bar, _, cnt, w_mean, w_m2), _ = jax.lax.scan(
+        make_warmup_step(ones), init1, jr.split(jr.fold_in(key, 0), n1)
     )
-    keys_w = jr.split(jr.fold_in(key, 0), num_warmup)
-    (q, lp, g, _, log_eps_bar, _, _), _ = jax.lax.scan(
-        warmup_step, init_carry, keys_w
+    var = w_m2 / jnp.maximum(cnt - 1.0, 1.0)
+    inv_mass = (cnt / (cnt + 5.0)) * var + (5.0 / (cnt + 5.0)) * 1e-3
+    inv_mass = jnp.where(inv_mass > 0, inv_mass, 1.0)
+
+    init2 = (q, lp, g, log_eps_bar, log_eps_bar,
+             jnp.zeros((), q0_flat.dtype), jnp.zeros((), q0_flat.dtype),
+             zeros, zeros)
+    (q, lp, g, _, log_eps_bar, _, _, _, _), _ = jax.lax.scan(
+        make_warmup_step(inv_mass), init2, jr.split(jr.fold_in(key, 2), n2)
     )
     eps = jnp.exp(log_eps_bar)
 
     def sample_step(carry, key):
         q, lp, g = carry
-        q_new, lp_new, accept, n_steps, div = _run_transition(
-            transition, key, q, lp, g, eps
+        q_new, lp_new, accept, n_steps, div = transition(
+            key, q, lp, g, eps, inv_mass
         )
         g_new = lpg(q_new)[1]
         return (q_new, lp_new, g_new), (q_new, accept, n_steps, div, lp_new)
@@ -337,10 +363,6 @@ def nuts(
     )
     samples = jax.vmap(unravel)(qs)
     return NUTSResult(samples, accepts, eps, n_steps, divs, lps)
-
-
-def _run_transition(transition, key, q, lp, g, eps):
-    return transition(key, q, lp, g, eps)
 
 
 @partial(jax.jit, static_argnames=(

@@ -55,11 +55,11 @@ def test_nuts_chains_gp_hyperposterior(key):
     )
     res = nuts_chains(
         logprob, q0s, jr.split(key, 2),
-        num_samples=150, num_warmup=150, max_depth=6,
+        num_samples=250, num_warmup=400, max_depth=6,
     )
     assert np.isfinite(np.asarray(res.log_probs)).all()
     assert float(res.diverging.mean()) < 0.2
     ls = np.exp(np.asarray(res.samples["kernel"]["lengthscale"]))
     assert 0.02 < ls.mean() < 1.5
     rhat = float(potential_scale_reduction(np.log(ls)))
-    assert rhat < 1.5, rhat
+    assert rhat < 1.45, rhat
