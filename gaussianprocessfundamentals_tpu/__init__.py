@@ -57,7 +57,19 @@ from gaussianprocessfundamentals_tpu.models.exact import (
     sample_posterior,
     sample_prior,
 )
-from gaussianprocessfundamentals_tpu.fit.fit import FitResult, fit, make_nll
+from gaussianprocessfundamentals_tpu.fit.fit import (
+    FitResult,
+    fit,
+    fit_batch_independent,
+    make_nll,
+)
+from gaussianprocessfundamentals_tpu.models.rff import (
+    pathwise_posterior_samples,
+    rff_features,
+    rff_init,
+    rff_prior_sample,
+)
+from gaussianprocessfundamentals_tpu.models.search import greedy_kernel_search
 from gaussianprocessfundamentals_tpu.kernels.partition import (
     BoxPartitioning,
     DistancePartitioning,

@@ -161,3 +161,24 @@ def test_partitioned_cv(key):
         )
     )
     assert np.isfinite(v)
+
+
+def test_fit_batch_independent(key):
+    from gaussianprocessfundamentals_tpu.fit.fit import fit_batch_independent
+
+    xs, ys = [], []
+    for i, ls in enumerate((0.1, 0.35)):
+        x, y = gpf.synth_se(n=120, lengthscale=ls, noise_sd=0.05, seed=i)
+        xs.append(x)
+        ys.append(y)
+    xb = jnp.asarray(np.stack(xs))
+    yb = jnp.asarray(np.stack(ys))
+    kp, noises, final = fit_batch_independent(
+        gpf.SquaredExponentialKernel(scaled=True), xb, yb,
+        steps=250, lr=0.05, key=key,
+    )
+    ls_fit = np.asarray(kp["lengthscale"])
+    assert np.all(np.isfinite(np.asarray(final)))
+    # each instance recovers its own lengthscale (different optima)
+    assert ls_fit[0] < ls_fit[1], ls_fit
+    assert 0.04 < ls_fit[0] < 0.25 and 0.15 < ls_fit[1] < 0.8, ls_fit

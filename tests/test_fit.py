@@ -96,3 +96,25 @@ def test_nll_grad_is_finite():
     assert np.isfinite(val)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_changepoint_location_learning():
+    """With the SIGMOID gate the CP location is differentiable and learnable
+    (the reference's INDICATOR gate has zero gradient - its CP positions only
+    move via the prepended-hyperparameter SGD against sigmoid-smoothed
+    objectives; here we fit the location directly)."""
+    from gaussianprocessfundamentals_tpu.config import ChangePointGate
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 1, (150, 1)), axis=0)
+    y = np.where(x[:, 0] < 0.63, 1.5, -1.5) + 0.05 * rng.standard_normal(150)
+    cp = gpf.ChangePoint(
+        children=(gpf.SquaredExponentialKernel(scaled=True),
+                  gpf.SquaredExponentialKernel(scaled=True)),
+        gate=ChangePointGate.SIGMOID,
+    )
+    res = fit(cp, jnp.asarray(x), jnp.asarray(y), method="adam", steps=250,
+              lr=0.03, optimize_noise=True)
+    loc = float(np.asarray(res.kernel_params["locations"])[0])
+    assert np.isfinite(res.nll_post)
+    assert 0.55 < loc < 0.72, loc
