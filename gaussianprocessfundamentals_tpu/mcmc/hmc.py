@@ -76,8 +76,14 @@ def hmc(
     num_leapfrog: int = 16,
     init_step_size: float = 0.1,
     target_accept: float = 0.8,
+    adapt_pmean_axis: str = None,
 ) -> HMCResult:
-    """Single-chain HMC; vmap over (q0, key) for multiple chains."""
+    """Single-chain HMC; vmap over (q0, key) for multiple chains.
+
+    ``adapt_pmean_axis``: inside ``shard_map`` over a chain axis, pass its
+    name to average the warmup acceptance statistic across chains with
+    ``lax.pmean`` — all chains then share one adapted step size (the
+    collective step-size adaptation of SURVEY.md §5.8)."""
     logprob_grad = jax.value_and_grad(logprob_fn)
 
     def kernel(state, key, step_size):
@@ -105,6 +111,8 @@ def hmc(
         state, log_eps, log_eps_bar, h_bar, t = carry
         step_size = jnp.exp(log_eps)
         state, accept_prob = kernel(state, key, step_size)
+        if adapt_pmean_axis is not None:
+            accept_prob = jax.lax.pmean(accept_prob, adapt_pmean_axis)
         t = t + 1.0
         eta = 1.0 / (t + t0)
         h_bar = (1.0 - eta) * h_bar + eta * (target_accept - accept_prob)
@@ -149,6 +157,48 @@ def hmc_chains(
             init_step_size,
         )
     )(q0s, keys)
+
+
+def hmc_chains_collective(
+    logprob_fn: Callable,
+    q0s: Any,
+    keys: jnp.ndarray,
+    mesh,
+    axis: str = "dp",
+    num_samples: int = 500,
+    num_warmup: int = 200,
+    num_leapfrog: int = 16,
+    init_step_size: float = 0.1,
+) -> HMCResult:
+    """Chains sharded one-per-device under ``shard_map``, with the warmup
+    acceptance statistic psum-averaged across chains so every chain shares a
+    single collectively adapted step size (SURVEY.md §5.8). Requires
+    num_chains == mesh.shape[axis]."""
+    from jax.sharding import PartitionSpec
+
+    P = mesh.shape[axis]
+    chains = keys.shape[0]
+    assert chains == P, (chains, P)
+
+    def per_device(q0, key):
+        q0 = jax.tree_util.tree_map(lambda l: l[0], q0)
+        res = hmc(
+            logprob_fn, q0, key[0], num_samples, num_warmup, num_leapfrog,
+            init_step_size, adapt_pmean_axis=axis,
+        )
+        return jax.tree_util.tree_map(lambda l: l[None], res)
+
+    spec_q = jax.tree_util.tree_map(
+        lambda l: PartitionSpec(axis, *([None] * (l.ndim - 1))), q0s
+    )
+    out = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec_q, PartitionSpec(axis)),
+        out_specs=PartitionSpec(axis),
+        check_vma=False,
+    )(q0s, keys)
+    return out
 
 
 # --- diagnostics -----------------------------------------------------------

@@ -142,3 +142,25 @@ def test_iterative_nll_mesh_sharded(key):
     np.testing.assert_allclose(
         float(g1["lengthscale"]), float(g0["lengthscale"]), rtol=1e-4
     )
+
+
+def test_hmc_collective_step_size(key):
+    """shard_map chains with psum-averaged warmup acceptance: all chains end
+    with the SAME adapted step size and still sample correctly."""
+    import jax.random as jr
+
+    from gaussianprocessfundamentals_tpu.mcmc.hmc import hmc_chains_collective
+
+    logprob = lambda q: -0.5 * jnp.sum(q["x"] ** 2)
+    mesh = single_axis_mesh("dp")
+    q0s = {"x": jnp.zeros((8, 2))}
+    keys = jr.split(key, 8)
+    res = hmc_chains_collective(
+        logprob, q0s, keys, mesh, axis="dp",
+        num_samples=300, num_warmup=200, num_leapfrog=8,
+    )
+    eps = np.asarray(res.step_size).reshape(-1)
+    np.testing.assert_allclose(eps, eps[0], rtol=1e-6)  # shared step size
+    s = np.asarray(res.samples["x"])
+    np.testing.assert_allclose(s.mean(), 0.0, atol=0.2)
+    np.testing.assert_allclose(s.std(), 1.0, atol=0.2)
