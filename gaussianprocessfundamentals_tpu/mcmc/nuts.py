@@ -288,6 +288,7 @@ def nuts(
     max_depth: int = 8,
     init_step_size: float = 0.1,
     target_accept: float = 0.8,
+    adapt_pmean_axis: str = None,
 ) -> NUTSResult:
     """Single-chain NUTS over a pytree position; vmap/shard for chains."""
     q0_flat, unravel = ravel_pytree(q0)
@@ -312,6 +313,8 @@ def nuts(
             q, lp, g, log_eps, log_eps_bar, h_bar, t, w_mean, w_m2 = carry
             eps = jnp.exp(log_eps)
             q_new, lp_new, accept, _, _ = transition(key, q, lp, g, eps, inv_mass)
+            if adapt_pmean_axis is not None:
+                accept = jax.lax.pmean(accept, adapt_pmean_axis)
             g_new = lpg(q_new)[1]
             t = t + 1.0
             eta = 1.0 / (t + t0)
@@ -363,6 +366,43 @@ def nuts(
     )
     samples = jax.vmap(unravel)(qs)
     return NUTSResult(samples, accepts, eps, n_steps, divs, lps)
+
+
+def nuts_chains_collective(
+    logprob_fn: Callable,
+    q0s: Any,
+    keys,
+    mesh,
+    axis: str = "dp",
+    num_samples: int = 500,
+    num_warmup: int = 300,
+    max_depth: int = 8,
+    init_step_size: float = 0.1,
+) -> NUTSResult:
+    """NUTS chains one-per-device under shard_map with collectively adapted
+    step size (psum-averaged warmup acceptance; SURVEY.md §5.8).
+    Requires num_chains == mesh.shape[axis]."""
+    from jax.sharding import PartitionSpec
+
+    assert keys.shape[0] == mesh.shape[axis]
+
+    def per_device(q0, key):
+        q0 = jax.tree_util.tree_map(lambda l: l[0], q0)
+        res = nuts(
+            logprob_fn, q0, key[0], num_samples, num_warmup, max_depth,
+            init_step_size, adapt_pmean_axis=axis,
+        )
+        return jax.tree_util.tree_map(lambda l: jnp.asarray(l)[None], res)
+
+    spec_q = jax.tree_util.tree_map(
+        lambda l: PartitionSpec(axis, *([None] * (l.ndim - 1))), q0s
+    )
+    return jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec_q, PartitionSpec(axis)),
+        out_specs=PartitionSpec(axis),
+        check_vma=False,
+    )(q0s, keys)
 
 
 @partial(jax.jit, static_argnames=(

@@ -164,3 +164,23 @@ def test_hmc_collective_step_size(key):
     s = np.asarray(res.samples["x"])
     np.testing.assert_allclose(s.mean(), 0.0, atol=0.2)
     np.testing.assert_allclose(s.std(), 1.0, atol=0.2)
+
+
+def test_nuts_collective_step_size(key):
+    import jax.random as jr
+
+    from gaussianprocessfundamentals_tpu.mcmc.nuts import nuts_chains_collective
+
+    logprob = lambda q: -0.5 * jnp.sum(q["x"] ** 2)
+    mesh = single_axis_mesh("dp")
+    q0s = {"x": jnp.zeros((8, 2))}
+    keys = jr.split(key, 8)
+    res = nuts_chains_collective(
+        logprob, q0s, keys, mesh, axis="dp",
+        num_samples=200, num_warmup=200, max_depth=5,
+    )
+    eps = np.asarray(res.step_size).reshape(-1)
+    np.testing.assert_allclose(eps, eps[0], rtol=1e-6)
+    s = np.asarray(res.samples["x"])
+    np.testing.assert_allclose(s.mean(), 0.0, atol=0.2)
+    np.testing.assert_allclose(s.std(), 1.0, atol=0.2)
