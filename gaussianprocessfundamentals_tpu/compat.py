@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import enum
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 from gaussianprocessfundamentals_tpu.config import DEFAULT_CONFIG, GPConfig
 
@@ -84,6 +84,8 @@ def get_metric(
     approximation: MatrixApproximations = MatrixApproximations.NONE,
     handling: NumericalMatrixHandlingType = NumericalMatrixHandlingType.CHOLESKY_BASED,
     config: GPConfig = DEFAULT_CONFIG,
+    subset: "SubsetOfDataApproaches" = None,
+    subset_ratio: float = 0.1,
 ) -> Callable:
     """Factory mapping strategy enums to a metric callable
     (reference ``get_metric_by_type``, ``Metrics/Auxiliary.py:13-51``).
@@ -100,10 +102,34 @@ def get_metric(
         skc_upper_bound,
     )
 
+    def with_subset(fn):
+        """Auto subset-of-data reduction before metric evaluation (reference
+        ``Metrics.py:54-68``: subset_size defaults to 0.1·n, random or grid
+        per ``SubsetOfDataApproaches``)."""
+        if subset is None:
+            return fn
+
+        def wrapped(kernel, params, x, y, *a, **k):
+            import numpy as _np
+
+            n = x.shape[0]
+            size = max(20, int(subset_ratio * n))
+            if subset is SubsetOfDataApproaches.RANDOM:
+                idx = _np.sort(
+                    _np.random.default_rng(0).permutation(n)[:size]
+                )
+            else:  # GRID / SMOOTHED_GRID
+                idx = _np.unique(
+                    _np.linspace(0, n - 1, size).round().astype(int)
+                )
+            return fn(kernel, params, x[idx], y[idx], *a, **k)
+
+        return wrapped
+
     if metric_type is MetricType.MSE:
         return partial(M.mean_squared_error, config=config)
     if metric_type is MetricType.BIC:
-        return partial(M.bic, config=config)
+        return with_subset(partial(M.bic, config=config))
     # LL family
     if approximation is MatrixApproximations.NONE:
         if handling is NumericalMatrixHandlingType.LINEAR_CONJUGATE_GRADIENT:
@@ -122,7 +148,7 @@ def get_metric(
                 return 0.5 * jnp.sum(y * alpha) + 0.5 * logdet + 0.5 * y.shape[-1] * chol.LOG_2PI
 
             return nll_cg
-        return partial(M.neg_log_likelihood, config=config)
+        return with_subset(partial(M.neg_log_likelihood, config=config))
     if approximation is MatrixApproximations.BASIC_NYSTROEM:
         return partial(nystroem_nll, jitter=config.jitter)
     if approximation is MatrixApproximations.SKC_LOWER_BOUND:

@@ -93,6 +93,17 @@ class DataInput:
         (reference ``DataInput.get_x_range``, ``DataInput.py:62-75``)."""
         return jnp.stack([self.x_train.min(axis=0), self.x_train.max(axis=0)], axis=-1)
 
+    def is_equidistant(self, tol: float = 1e-8) -> bool:
+        """True when x_train[:, 0] is an equispaced grid (reference
+        ``DataInput.py:17-23,169-170``; gates SKI grid reuse)."""
+        import numpy as np
+
+        x0 = np.asarray(self.x_train[:, 0])
+        if x0.size < 3:
+            return True
+        d = np.diff(np.sort(x0))
+        return bool(np.all(np.abs(d - d[0]) <= tol * max(1.0, abs(d[0]))))
+
     def n_inducing(self, ratio: float = 0.1) -> int:
         """max(20, ratio·n) (reference ``AbstractDataInput.py:80-84``)."""
         return max(20, int(ratio * self.n_train))

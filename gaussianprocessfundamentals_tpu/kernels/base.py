@@ -141,6 +141,26 @@ class Kernel:
     def __str__(self) -> str:
         return type(self).__name__.replace("Kernel", "")
 
+    def canonical_str(self) -> str:
+        """Canonical string form with commutative children sorted — two
+        expressions equal up to ADD/MUL argument order share one canonical
+        form (reference child sorting for canonical representations,
+        ``Operators.py:128-135``; used for search-space deduplication)."""
+        from gaussianprocessfundamentals_tpu.kernels.operators import (
+            Product,
+            Sum,
+        )
+
+        name = type(self).__name__.replace("Kernel", "")
+        if not self.children:
+            return name + ("~s" if getattr(self, "scaled", False) else "")
+        parts = [c.canonical_str() for c in self.children]
+        if isinstance(self, (Sum, Product)):
+            parts = sorted(parts)
+            sep = " + " if isinstance(self, Sum) else " * "
+            return "(" + sep.join(parts) + ")"
+        return name + "(" + ", ".join(parts) + ")"
+
 
 def kernel_from_dict(d: dict) -> Kernel:
     """Rebuild a kernel tree from :meth:`Kernel.to_dict` output.

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaussianprocessfundamentals_tpu.kernels.base import Kernel, register_kernel
+from gaussianprocessfundamentals_tpu.kernels.base import register_kernel
 from gaussianprocessfundamentals_tpu.kernels.operators import Operator
 
 

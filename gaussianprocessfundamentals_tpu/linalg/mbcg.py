@@ -26,7 +26,6 @@ exactness paths simple.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -14,9 +14,8 @@ Krylov run (GPyTorch BBMM, PAPERS.md).
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ import optax
 from gaussianprocessfundamentals_tpu.config import DEFAULT_CONFIG, GPConfig
 from gaussianprocessfundamentals_tpu.fit.transforms import constrain, unconstrain
 from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
-from gaussianprocessfundamentals_tpu.linalg.mbcg import mbcg, slq_logdet
+from gaussianprocessfundamentals_tpu.linalg.mbcg import mbcg
 from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
     gram_matvec,
     lowrank_gram_vjp,

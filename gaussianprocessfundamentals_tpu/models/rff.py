@@ -16,7 +16,6 @@ Feature maps are f32 matmul + cos — pure MXU/VPU work.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

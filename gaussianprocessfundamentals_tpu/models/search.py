@@ -17,7 +17,7 @@ chip (the EP-style axis of SURVEY.md §2.9).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import jax.random as jr
@@ -86,8 +86,10 @@ def greedy_kernel_search(
             print(f"  {score:10.1f}  {kernel}")
         return res, score
 
+    seen = set()
     best = None
     for i, b in enumerate(base_kernels):
+        seen.add(b.canonical_str())
         res, score = evaluate(b, i)
         if best is None or score < best[3]:
             best = (b, res.kernel_params, res.noise, score)
@@ -97,6 +99,13 @@ def greedy_kernel_search(
         current = best[0]
         for j, b in enumerate(base_kernels):
             for cand in (current + b, current * b):
+                # canonical-form dedup: skip candidates equal up to ADD/MUL
+                # argument order (reference canonical string sorting,
+                # Operators.py:128-135)
+                cs = cand.canonical_str()
+                if cs in seen:
+                    continue
+                seen.add(cs)
                 res, score = evaluate(cand, 1000 * depth + j)
                 if score < best[3] - 1e-6:
                     best = (cand, res.kernel_params, res.noise, score)

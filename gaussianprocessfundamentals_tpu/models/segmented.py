@@ -24,8 +24,8 @@ import numpy as np
 
 from gaussianprocessfundamentals_tpu.config import DEFAULT_CONFIG, GPConfig
 from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
-from gaussianprocessfundamentals_tpu.means.functions import MeanFunction, ZeroMean
-from gaussianprocessfundamentals_tpu.models.exact import GaussianProcess, posterior
+from gaussianprocessfundamentals_tpu.means.functions import MeanFunction
+from gaussianprocessfundamentals_tpu.models.exact import GaussianProcess
 
 
 def pad_segments(

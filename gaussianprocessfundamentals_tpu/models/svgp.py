@@ -18,8 +18,6 @@ provided: it equals the reference's SKC lower bound with the trace correction
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax

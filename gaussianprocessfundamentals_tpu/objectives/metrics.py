@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np

@@ -17,7 +17,6 @@ uses the XLA builder in :mod:`..kernels`; SURVEY.md §7 "hard parts" #2.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

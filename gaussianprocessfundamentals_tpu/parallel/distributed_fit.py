@@ -22,8 +22,7 @@ SVGP); Adam averages it out. ``probes=0`` falls back to exact autodiff through
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ sharding is expressed with ``with_sharding_constraint``.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -18,7 +18,6 @@ from __future__ import annotations
 import enum
 from typing import Any, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 

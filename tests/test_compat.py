@@ -182,3 +182,30 @@ def test_fit_batch_independent(key):
     # each instance recovers its own lengthscale (different optima)
     assert ls_fit[0] < ls_fit[1], ls_fit
     assert 0.04 < ls_fit[0] < 0.25 and 0.15 < ls_fit[1] < 0.8, ls_fit
+
+
+def test_metric_factory_subset_of_data():
+    x, y = _data(200)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    full = compat.get_metric(compat.MetricType.LL)
+    sod = compat.get_metric(
+        compat.MetricType.LL, subset=compat.SubsetOfDataApproaches.GRID,
+        subset_ratio=0.25,
+    )
+    v_full = float(full(k, p, x, y, 0.1))
+    v_sod = float(sod(k, p, x, y, 0.1))
+    assert np.isfinite(v_sod) and abs(v_sod) < abs(v_full)  # fewer points
+
+
+def test_is_equidistant():
+    from gaussianprocessfundamentals_tpu.data.datasets import DataInput
+
+    x = np.linspace(0, 1, 50)
+    di = DataInput.from_arrays(x, x, test_ratio=0.0, normalize_x=False,
+                               normalize_y=False)
+    assert di.is_equidistant()
+    x2 = np.sort(np.random.default_rng(0).uniform(0, 1, 50))
+    di2 = DataInput.from_arrays(x2, x2, test_ratio=0.0, normalize_x=False,
+                                normalize_y=False)
+    assert not di2.is_equidistant()

@@ -174,3 +174,11 @@ def test_num_params():
     k = gpf.SquaredExponentialKernel() + gpf.PeriodicKernel()
     p = k.init_params(XR, 10)
     assert k.num_params(p) == 3  # SE ℓ + PER (ℓ, p)
+
+
+def test_canonical_str_commutative():
+    a, b = gpf.SquaredExponentialKernel(), gpf.PeriodicKernel()
+    assert (a + b).canonical_str() == (b + a).canonical_str()
+    assert (a * b).canonical_str() == (b * a).canonical_str()
+    assert (a + b).canonical_str() != (a * b).canonical_str()
+    assert gpf.SquaredExponentialKernel(scaled=True).canonical_str() != a.canonical_str()
