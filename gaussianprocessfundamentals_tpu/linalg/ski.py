@@ -70,6 +70,67 @@ def ski_logdet_approx(state: SKIState, n: int, noise) -> jnp.ndarray:
     return jnp.sum(jnp.log(scaled + noise))
 
 
+def toeplitz_matvec(first_col: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """T·v for symmetric Toeplitz T given its first column, via circulant
+    embedding + FFT: O(m log m) instead of O(m²).
+
+    On a 1-D equispaced inducing grid every stationary kernel's K_mm is
+    Toeplitz (KISS-GP structure exploitation; the reference's SKI has no fast
+    structure path). v: [m] or [m, r].
+    """
+    vec = v.ndim == 1
+    if vec:
+        v = v[:, None]
+    m = first_col.shape[0]
+    # circulant embedding of length 2m: [c0..c_{m-1}, 0, c_{m-1}..c1]
+    c = jnp.concatenate(
+        [first_col, jnp.zeros((1,), first_col.dtype), first_col[1:][::-1]]
+    )
+    fc = jnp.fft.rfft(c)
+    vp = jnp.concatenate([v, jnp.zeros_like(v)], axis=0)
+    out = jnp.fft.irfft(fc[:, None] * jnp.fft.rfft(vp, axis=0), n=2 * m, axis=0)
+    out = out[:m].astype(v.dtype)
+    return out[:, 0] if vec else out
+
+
+def ski_matvec_toeplitz(idx, w, first_col, noise, v):
+    """(W·T·Wᵀ + σ²I)·v with Toeplitz K_mm: O(n + m log m) per matvec."""
+    m = first_col.shape[0]
+    wt_v = jnp.zeros((m,), v.dtype).at[idx.reshape(-1)].add(
+        (w * v[:, None]).reshape(-1)
+    )
+    u = toeplitz_matvec(first_col, wt_v)
+    return jnp.sum(w * u[idx], axis=-1) + noise * v
+
+
+def ski_mll_toeplitz(kernel, params, x, y, grid, noise, jitter: float,
+                     cg_tol: float = 1e-6) -> jnp.ndarray:
+    """SKI log marginal likelihood with the Toeplitz fast matvec (equispaced
+    grid required) and circulant-eigenvalue log-det (scaled by n/m as in the
+    reference's eigenvalue approximation)."""
+    from gaussianprocessfundamentals_tpu.linalg.cg import cg_solve
+    from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
+
+    n = x.shape[0]
+    m = grid.shape[0]
+    idx, w = ski_interp(x, grid)
+    first_col = kernel.gram(params, grid, grid[:1])[:, 0]  # [m]
+    sigma2 = jnp.asarray(noise, x.dtype) + jitter
+    alpha = cg_solve(
+        lambda v: ski_matvec_toeplitz(idx, w, first_col, sigma2, v),
+        y, tol=cg_tol, max_iters=4 * n,
+    )
+    # Toeplitz eigenvalues ≈ circulant embedding spectrum (first m entries)
+    eig = jnp.sort(jnp.real(jnp.fft.rfft(jnp.concatenate(
+        [first_col, jnp.zeros((1,), first_col.dtype), first_col[1:][::-1]]
+    ))))[-m:]
+    scaled = jnp.maximum(eig * (n / m), 0.0)
+    logdet = jnp.sum(jnp.log(scaled + sigma2))
+    return (
+        -0.5 * jnp.sum(y * alpha) - 0.5 * logdet - 0.5 * n * LOG_2PI
+    )
+
+
 def ski_mll(kernel, params, x, y, grid, noise, jitter: float,
             cg_tol: float = 1e-6) -> jnp.ndarray:
     """SKI log marginal likelihood: CG solve against the structured matvec +

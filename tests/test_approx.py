@@ -133,3 +133,37 @@ def test_svgp_fit_learns(key):
     mse = float(jnp.mean((fm - y) ** 2))
     assert mse < 0.1, mse
     assert np.all(np.asarray(fv) >= 0)
+
+
+def test_toeplitz_matvec_matches_dense():
+    from gaussianprocessfundamentals_tpu.linalg.ski import toeplitz_matvec
+
+    rng = np.random.default_rng(0)
+    grid = jnp.linspace(0, 1, 33)[:, None]
+    col = K_SE.gram({"lengthscale": jnp.asarray(0.2)}, grid, grid[:1])[:, 0]
+    T = np.asarray(K_SE.gram({"lengthscale": jnp.asarray(0.2)}, grid, grid))
+    v = jnp.asarray(rng.standard_normal((33, 2)))
+    got = np.asarray(toeplitz_matvec(col, v))
+    np.testing.assert_allclose(got, T @ np.asarray(v), atol=1e-8)
+    got1 = np.asarray(toeplitz_matvec(col, v[:, 0]))
+    np.testing.assert_allclose(got1, T @ np.asarray(v[:, 0]), atol=1e-8)
+
+
+def test_ski_toeplitz_matches_dense_ski():
+    from gaussianprocessfundamentals_tpu.linalg.ski import (
+        ski_matvec_toeplitz,
+        ski_interp,
+        ski_mll_toeplitz,
+    )
+
+    x, y = _data(80)
+    grid = jnp.linspace(-0.05, 1.05, 32)[:, None].astype(x.dtype)
+    p = {"lengthscale": jnp.asarray(0.2)}
+    st = ski_factor(K_SE, p, x, grid)
+    idx, w = ski_interp(x, grid)
+    col = K_SE.gram(p, grid, grid[:1])[:, 0]
+    got = np.asarray(ski_matvec_toeplitz(idx, w, col, 0.3, y))
+    want = np.asarray(ski_matvec(st, 0.3, y))
+    np.testing.assert_allclose(got, want, atol=1e-8)
+    mll_t = float(ski_mll_toeplitz(K_SE, p, x, y, grid, 0.1, 1e-8))
+    assert np.isfinite(mll_t)

@@ -182,3 +182,28 @@ def test_canonical_str_commutative():
     assert (a * b).canonical_str() == (b * a).canonical_str()
     assert (a + b).canonical_str() != (a * b).canonical_str()
     assert gpf.SquaredExponentialKernel(scaled=True).canonical_str() != a.canonical_str()
+
+
+def test_periodic_matern_use_manhattan_in_2d():
+    """Reference PER/Matérn use the MANHATTAN distance (Distances.py:10-12,
+    BaseKernels.py:445,707,866) — distinguishable from Euclidean only at d>1."""
+    x1 = jnp.array([[0.0, 0.0]])
+    x2 = jnp.array([[0.3, 0.4]])  # L1 = 0.7, L2 = 0.5
+    p = {"lengthscale": jnp.asarray(0.6), "period": jnp.asarray(0.9)}
+    got = float(gpf.PeriodicKernel(dim=2).gram(p, x1, x2)[0, 0])
+    d = 0.7
+    expected = math.exp(-2 * math.sin(math.pi * d / 0.9) ** 2 / 0.36)
+    assert abs(got - expected) < 1e-7
+    got32 = float(gpf.Matern32Kernel(dim=2).gram({"lengthscale": jnp.asarray(0.6)}, x1, x2)[0, 0])
+    f = math.sqrt(3) * 0.7 / 0.6
+    assert abs(got32 - (1 + f) * math.exp(-f)) < 1e-7
+
+
+def test_rq_limits_to_se():
+    """RQ → SE as α → ∞ (scale-mixture sanity)."""
+    x = jnp.linspace(0, 1, 12)[:, None]
+    se = gpf.SquaredExponentialKernel().gram({"lengthscale": jnp.asarray(0.3)}, x, x)
+    rq = gpf.RationalQuadraticKernel().gram(
+        {"lengthscale": jnp.asarray(0.3), "alpha": jnp.asarray(1e6)}, x, x
+    )
+    np.testing.assert_allclose(np.asarray(rq), np.asarray(se), atol=1e-4)
