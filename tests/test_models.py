@@ -152,3 +152,20 @@ def test_prior_posterior_sampling_moments(key):
     np.testing.assert_allclose(
         emp_cov, np.asarray(k.gram(p, x, x)), atol=0.15
     )
+
+
+def test_fit_segments_vmapped(key):
+    from gaussianprocessfundamentals_tpu.models.segmented import (
+        fit_segments_vmapped,
+    )
+
+    segs = []
+    for i, ls in enumerate((0.1, 0.3)):
+        x, y = gpf.synth_se(n=80 + 20 * i, lengthscale=ls, noise_sd=0.05, seed=i)
+        segs.append((jnp.asarray(x), jnp.asarray(y)))
+    kp, noises, final = fit_segments_vmapped(
+        gpf.SquaredExponentialKernel(scaled=True), segs, steps=250, key=key
+    )
+    ls_fit = np.asarray(kp["lengthscale"])
+    assert np.all(np.isfinite(np.asarray(final)))
+    assert ls_fit[0] < ls_fit[1], ls_fit
