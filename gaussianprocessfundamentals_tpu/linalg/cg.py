@@ -23,12 +23,14 @@ def cg_solve(
     max_iters: Optional[int] = None,
     precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> jnp.ndarray:
-    """Solve A x = b for SPD A given only ``matvec``; b: [..., n].
+    """Solve A x = b for SPD A given only ``matvec``; b: [n] (single RHS —
+    for batched right-hand sides use :func:`..mbcg.mbcg`).
 
     Convergence test is ``max|r| < tol`` to match the reference
     (``LinearConjugateGradients.py:17-20``); NaN in the residual terminates
     with the last finite iterate (reference ``:21-24``).
     """
+    assert b.ndim == 1, "cg_solve is single-RHS; use linalg.mbcg for batches"
     n = b.shape[-1]
     max_iters = n if max_iters is None else max_iters
     M = precond if precond is not None else (lambda v: v)
@@ -50,12 +52,12 @@ def cg_solve(
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
         a = rz / jnp.where(denom == 0, 1.0, denom)
-        x_new = x + a[..., None] * p if b.ndim > 1 else x + a * p
-        r_new = r - a[..., None] * Ap if b.ndim > 1 else r - a * Ap
+        x_new = x + a * p
+        r_new = r - a * Ap
         z_new = M(r_new)
         rz_new = jnp.sum(r_new * z_new, axis=-1)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p_new = z_new + (beta[..., None] * p if b.ndim > 1 else beta * p)
+        p_new = z_new + beta * p
         ok = jnp.logical_not(jnp.any(jnp.isnan(r_new)))
         x_keep = jnp.where(ok, x_new, x)
         return x_keep, r_new, p_new, rz_new, i + 1, ok
