@@ -84,3 +84,15 @@ def test_detrending_in_posterior():
     np.testing.assert_allclose(np.asarray(mean_mu), 5.0)
     np.testing.assert_allclose(np.asarray(full_mu), y, atol=1e-3)
     np.testing.assert_allclose(np.asarray(full_mu), np.asarray(mean_mu + post_mu))
+
+
+def test_mean_changepoint():
+    """CP mean operator (declared but unimplemented in the reference —
+    MeanFunctionBasics/MeanFunction.py:15-28)."""
+    m = gpf.MeanChangePoint(children=(gpf.ConstantMean(), gpf.ConstantMean()))
+    p = m.init_params([[0.0, 1.0]], 10)
+    p["children"] = ({"value": jnp.asarray(-1.0)}, {"value": jnp.asarray(2.0)})
+    p["locations"] = jnp.asarray([0.5])
+    x = jnp.array([[0.1], [0.9]])
+    got = np.asarray(m.mean(p, x))
+    np.testing.assert_allclose(got, [-1.0, 2.0])
