@@ -122,6 +122,16 @@ def get_metric(
                 idx = _np.unique(
                     _np.linspace(0, n - 1, size).round().astype(int)
                 )
+            if subset is SubsetOfDataApproaches.SMOOTHED_GRID:
+                # the reference declares but never implements this approach
+                # (AbstractDataInput.py:138; DataInput.get_subset raises) —
+                # here: Nadaraya-Watson smoothing via DataInput
+                from gaussianprocessfundamentals_tpu.data.datasets import (
+                    DataInput as _DI,
+                )
+
+                di = _DI(x, y, x, y).subset_smoothed_grid(size)
+                return fn(kernel, params, di.x_train, di.y_train, *a, **k)
             return fn(kernel, params, x[idx], y[idx], *a, **k)
 
         return wrapped

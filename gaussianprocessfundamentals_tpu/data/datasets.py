@@ -121,6 +121,31 @@ class DataInput:
             self, x_train=self.x_train[idx], y_train=self.y_train[idx]
         )
 
+    def subset_smoothed_grid(self, size: int, smoothing_kernel=None,
+                             smoothing_params=None) -> "DataInput":
+        """Grid subset with y Nadaraya-Watson-smoothed over the FULL training
+        set by normalized kernel weights. Implements the intent of the
+        reference's declared-but-unimplemented
+        ``get_independent_smoothed_grid_subset``
+        (``AbstractDataInput.py:138`` is an abstract ``pass``;
+        ``BatchDataInput.py:94-95`` raises; ``DataInput.get_subset`` rejects
+        ``SOD_SMOOTHED_GRID``). Default smoothing kernel: SE with lengthscale
+        = per-dimension grid spacing (span/size)."""
+        idx = np.unique(np.linspace(0, self.n_train - 1, size).round().astype(int))
+        xg = self.x_train[idx]
+        if smoothing_kernel is None:
+            from gaussianprocessfundamentals_tpu.kernels.leaves import (
+                SquaredExponentialKernel,
+            )
+
+            smoothing_kernel = SquaredExponentialKernel()
+            span = jnp.max(self.x_train, axis=0) - jnp.min(self.x_train, axis=0)
+            ls = jnp.maximum(jnp.mean(span) / max(size, 1), 1e-12)
+            smoothing_params = {"lengthscale": jnp.asarray(ls, self.x_train.dtype)}
+        w = smoothing_kernel.gram(smoothing_params, xg, self.x_train)  # [m, n]
+        yg = (w @ self.y_train) / jnp.maximum(w.sum(axis=-1), 1e-30)
+        return dataclasses.replace(self, x_train=xg, y_train=yg)
+
     def split_at_changepoints(self, locations) -> List["DataInput"]:
         """Segment train/test by change-point thresholds on x[:, 0]
         (reference ``BlockwiseDataInput``, ``DataInput.py:210-253``)."""

@@ -62,3 +62,26 @@ def test_kfold(key):
     np.testing.assert_array_equal(all_test, np.arange(50))
     for train, test in folds:
         assert len(np.intersect1d(train, test)) == 0
+
+
+def test_subset_smoothed_grid():
+    """Smoothed-grid SOD: grid x positions, y Nadaraya-Watson-smoothed.
+    (The reference declares but never implements this approach —
+    AbstractDataInput.py:138, DataInput.get_subset raises.)"""
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.data.datasets import DataInput
+
+    n = 200
+    x = np.linspace(0, 1, n)[:, None]
+    rng = np.random.default_rng(0)
+    y = np.sin(6 * x[:, 0]) + 0.3 * rng.standard_normal(n)
+    di = DataInput(jnp.asarray(x), jnp.asarray(y), jnp.asarray(x), jnp.asarray(y))
+    sub = di.subset_smoothed_grid(40)
+    assert sub.x_train.shape == (40, 1)
+    # smoothing reduces residual noise vs the raw grid subset
+    truth = np.sin(6 * np.asarray(sub.x_train)[:, 0])
+    raw = di.subset_grid(40)
+    err_smooth = np.mean((np.asarray(sub.y_train) - truth) ** 2)
+    err_raw = np.mean((np.asarray(raw.y_train) - np.sin(6 * np.asarray(raw.x_train)[:, 0])) ** 2)
+    assert err_smooth < err_raw

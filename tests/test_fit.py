@@ -118,3 +118,39 @@ def test_changepoint_location_learning():
     loc = float(np.asarray(res.kernel_params["locations"])[0])
     assert np.isfinite(res.nll_post)
     assert 0.55 < loc < 0.72, loc
+
+
+def test_kfold_nll_matches_manual_folds(key):
+    """make_kfold_nll == mean of per-fold dense NLLs on the fold training
+    subsets (reference opt_kfold, Optimizer/Fitter.py:98-99)."""
+    from gaussianprocessfundamentals_tpu.fit.fit import make_kfold_nll
+    from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+    from gaussianprocessfundamentals_tpu.objectives.metrics import kfold_indices
+
+    x, y = _data(90)
+    kern = gpf.SquaredExponentialKernel(scaled=True)
+    mean = gpf.ZeroMean()
+    u = init_uparams(kern, mean, [[0.0, 1.0]], x.shape[0], optimize_noise=True,
+                     dtype=x.dtype, init_noise=0.01)
+    k = 3
+    nll_fn = make_kfold_nll(kern, mean, x, y, k, key, optimize_noise=True)
+    got = float(nll_fn(u))
+
+    kp = constrain(kern.positivity(), u["kernel"])
+    noise = float(jnp.exp(u["log_noise"]))
+    vals = []
+    for train_idx, _ in kfold_indices(x.shape[0], k, key):
+        xt, yt = x[train_idx], y[train_idx]
+        K = kern.gram(kp, xt, xt)
+        vals.append(float(chol.nll(K, yt, noise, 1e-8)))
+    np.testing.assert_allclose(got, np.mean(vals), rtol=1e-6)
+
+
+def test_fit_kfold_decreases_objective(key):
+    x, y = _data(120)
+    res = fit(
+        gpf.SquaredExponentialKernel(), x, y,
+        method="adam", steps=100, optimize_noise=True, kfold=4, key=key,
+    )
+    assert np.isfinite(res.nll_post)
+    assert res.nll_post < res.nll_pre
