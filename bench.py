@@ -64,9 +64,13 @@ def main() -> None:
     noise = 0.01
     key = jr.PRNGKey(0)
 
+    # tol 3e-3 (absolute residual; relative ~1e-5 at these RHS norms) with
+    # early-exit mBCG: the rank-256 Nyström preconditioner converges the
+    # solves in far fewer than the 50-iteration cap, and SLQ probe noise —
+    # not CG tolerance — dominates the NLL error (BENCHMARKS.md accuracy row)
     step = lambda: iterative_nll_and_grad(
         kernel, params, x, y, noise, key,
-        num_probes=8, max_iters=50, block=4096, precond_m=256,
+        num_probes=8, max_iters=50, block=4096, precond_m=256, tol=3e-3,
     )
     out = step()
     jax.block_until_ready(out)

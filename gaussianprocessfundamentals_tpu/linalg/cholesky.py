@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
@@ -65,8 +66,78 @@ def mll_from_state(state: CholState, y: jnp.ndarray) -> jnp.ndarray:
     return data_fit + complexity + norm
 
 
+@jax.custom_vjp
+def _mll_core(Kn: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """MLL of N(y | 0, Kn) with a closed-form VJP.
+
+    XLA's generic Cholesky backward costs ~4× the forward factorisation
+    (measured 230 ms vs 50 ms at n=10k f32 on v5e, BENCHMARKS.md); the GP MLL
+    gradient has the classical closed form
+        ∂mll/∂Kn = ½(ααᵀ − Kn⁻¹),   ∂mll/∂y = −α,
+    which needs only ONE extra triangular solve (L⁻¹ with n RHS — blocked MXU
+    work) and one symmetric matmul. Supports leading batch dims.
+    """
+    L = jnp.linalg.cholesky(Kn)
+    z = solve_triangular(L, y[..., None], lower=True)
+    alpha = solve_triangular(L, z, lower=True, trans=1)[..., 0]
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    n = y.shape[-1]
+    return -0.5 * jnp.sum(y * alpha, axis=-1) - 0.5 * logdet - 0.5 * n * LOG_2PI
+
+
+def _mll_core_fwd(Kn, y):
+    L = jnp.linalg.cholesky(Kn)
+    z = solve_triangular(L, y[..., None], lower=True)
+    alpha = solve_triangular(L, z, lower=True, trans=1)[..., 0]
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    n = y.shape[-1]
+    out = -0.5 * jnp.sum(y * alpha, axis=-1) - 0.5 * logdet - 0.5 * n * LOG_2PI
+    return out, (L, alpha)
+
+
+def _tri_inv(L: jnp.ndarray, col_block: int = 2048) -> jnp.ndarray:
+    """L⁻¹ for lower-triangular L (leading batch dims allowed).
+
+    A single ``solve_triangular(L, I)`` with n right-hand sides makes XLA:TPU
+    materialise dozens of [n, n] temps (measured 15.8 GB at n=10k — OOM on a
+    16 GB chip), so the identity RHS is split into column blocks under
+    ``lax.map``, which reuses one block's buffers across iterations. Same
+    FLOPs, O(n·col_block) live temps.
+    """
+    n = L.shape[-1]
+    if n <= col_block:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        return solve_triangular(L, eye, lower=True)
+    nb = -(-n // col_block)  # ceil; the last block is zero-padded RHS columns
+    cols = jnp.arange(nb * col_block).reshape(nb, col_block)
+
+    def chunk(c):
+        e = (jnp.arange(n)[:, None] == c[None, :]).astype(L.dtype)  # [n, b]
+        e = jnp.broadcast_to(e, L.shape[:-2] + e.shape)
+        return solve_triangular(L, e, lower=True)  # [..., n, b]
+
+    blocks = jax.lax.map(chunk, cols)  # [nb, ..., n, b]
+    blocks = jnp.moveaxis(blocks, 0, -2)  # [..., n, nb, b]
+    out = blocks.reshape(*L.shape[:-1], nb * col_block)
+    return out[..., :n]
+
+
+def _mll_core_bwd(res, g):
+    L, alpha = res
+    hp = jax.lax.Precision.HIGHEST
+    Linv = _tri_inv(L)
+    Kn_inv = jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv, precision=hp)
+    aa = alpha[..., :, None] * alpha[..., None, :]
+    dKn = 0.5 * (aa - Kn_inv) * g[..., None, None]
+    dy = -alpha * g[..., None]
+    return dKn, dy
+
+
+_mll_core.defvjp(_mll_core_fwd, _mll_core_bwd)
+
+
 def mll(K: jnp.ndarray, y: jnp.ndarray, noise, jitter: float) -> jnp.ndarray:
-    return mll_from_state(factor(K, y, noise, jitter), y)
+    return _mll_core(noised(K, noise, jitter), y)
 
 
 def nll(K: jnp.ndarray, y: jnp.ndarray, noise, jitter: float) -> jnp.ndarray:

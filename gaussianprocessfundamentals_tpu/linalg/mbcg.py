@@ -45,12 +45,20 @@ def mbcg(
     max_iters: int = 100,
     tol: float = 1e-8,
     precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    early_exit: bool = False,
 ) -> MBCGResult:
     """Batched CG on A X = B with B: [n, r]; matvec maps [n, r] → [n, r].
 
-    Runs a fixed ``max_iters`` iterations under ``lax.scan`` (converged
-    columns freeze via masking — static shapes, no host sync), recording the
-    α/β recurrence per column for Lanczos quadrature.
+    Runs up to ``max_iters`` iterations, recording the α/β recurrence per
+    column for Lanczos quadrature. Converged columns freeze via masking
+    (static shapes, no host sync). With ``early_exit=True`` the loop is a
+    ``lax.while_loop`` that stops once EVERY column has converged — legal here
+    because nothing differentiates through mBCG (the NLL gradient is assembled
+    from the solves themselves, ``models/iterative.py``), and a device-side
+    all-reduce on the done mask costs nothing next to an [n,n]×[n,r] matvec.
+    The α/β tails stay zero, which the SLQ tridiagonal assembly already treats
+    as identity rows (``lanczos_tridiag_from_cg`` ``dead`` handling), so both
+    variants return identical results for converged problems.
     """
     n, r = B.shape
     M = precond if precond is not None else (lambda v: v)
@@ -61,7 +69,7 @@ def mbcg(
     P = Z
     rz = jnp.sum(R * Z, axis=0)  # [r]
 
-    def step(carry, _):
+    def step(carry):
         X, R, Z, P, rz, done = carry
         AP = matvec(P)
         pAp = jnp.sum(P * AP, axis=0)
@@ -88,9 +96,32 @@ def mbcg(
         R_new = jnp.where(keep, R_new, R)
         return (X, R_new, Z_new, P_new, rz_new, done_new), (alpha, beta)
 
-    (X, R, _, _, _, _), (alphas, betas) = jax.lax.scan(
-        step, (X, R, Z, P, rz, jnp.zeros((r,), bool)), None, length=max_iters
-    )
+    init = (X, R, Z, P, rz, jnp.zeros((r,), bool))
+    if early_exit:
+        dtype = B.dtype
+        buf = jnp.zeros((max_iters, r), dtype)
+
+        def cond(state):
+            i, carry, _, _ = state
+            return jnp.logical_and(i < max_iters, ~jnp.all(carry[-1]))
+
+        def body(state):
+            i, carry, alphas, betas = state
+            carry, (alpha, beta) = step(carry)
+            return (
+                i + 1,
+                carry,
+                jax.lax.dynamic_update_slice(alphas, alpha[None], (i, 0)),
+                jax.lax.dynamic_update_slice(betas, beta[None], (i, 0)),
+            )
+
+        _, (X, R, *_), alphas, betas = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), init, buf, buf)
+        )
+    else:
+        (X, R, _, _, _, _), (alphas, betas) = jax.lax.scan(
+            lambda c, _: step(c), init, None, length=max_iters
+        )
     return MBCGResult(X, alphas, betas, jnp.linalg.norm(R, axis=0))
 
 

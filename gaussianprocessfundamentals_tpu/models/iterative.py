@@ -46,7 +46,7 @@ def _cot_vjp(kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp):
     jax.jit,
     static_argnames=(
         "kernel", "num_probes", "max_iters", "block", "precond_m",
-        "mesh", "mesh_axis",
+        "mesh", "mesh_axis", "early_exit",
     ),
 )
 def _iterative_core(
@@ -63,6 +63,7 @@ def _iterative_core(
     precond_m: int = 128,
     mesh=None,
     mesh_axis: str = "tp",
+    early_exit: bool = True,
 ):
     """(nll, grad_kernel_params, grad_noise, resid) without forming K.
 
@@ -158,7 +159,10 @@ def _iterative_core(
         z_weights = jnp.sum(z * z, axis=0)
 
     B = jnp.concatenate([y[:, None], z], axis=1)
-    res = mbcg(matvec, B, max_iters=max_iters, tol=tol, precond=P_inv)
+    res = mbcg(
+        matvec, B, max_iters=max_iters, tol=tol, precond=P_inv,
+        early_exit=early_exit and mesh is None,
+    )
     alpha = res.solves[:, 0]
     zhat = res.solves[:, 1:]
 
@@ -213,6 +217,7 @@ def iterative_nll_and_grad(
     kernel, kernel_params, x, y, noise, key,
     num_probes: int = 8, max_iters: int = 100, block: int = 2048,
     tol: float = 1e-6, precond_m: int = 128, mesh=None, mesh_axis: str = "tp",
+    early_exit: bool = True,
 ):
     """(nll, grad_kernel_params, grad_noise, resid) — see :func:`_iterative_core`.
 
@@ -226,6 +231,7 @@ def iterative_nll_and_grad(
     data_fit, log_P, al, be, zw, grad_params, grad_noise, resid = _iterative_core(
         kernel, kernel_params, x, y, noise, key,
         num_probes, max_iters, block, tol, precond_m, mesh, mesh_axis,
+        early_exit,
     )
     # ONE batched device→host transfer (each separate float() costs a full
     # round trip, expensive over a tunnelled device)

@@ -131,3 +131,24 @@ def test_iterative_posterior_variance_matches_exact():
     )
     np.testing.assert_allclose(np.asarray(mu_it), np.asarray(mu_ex), atol=1e-5)
     np.testing.assert_allclose(np.asarray(var_it), np.asarray(var_ex), atol=1e-5)
+
+
+def test_mbcg_early_exit_matches_scan():
+    """while_loop early-exit mBCG must be bit-identical to the fixed-length
+    scan on converged problems (zero α/β tails are SLQ identity rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import mbcg
+
+    rng = np.random.default_rng(3)
+    n = 300
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    B = jnp.asarray(rng.standard_normal((n, 3)))
+    mv = lambda V: jnp.matmul(K, V, precision=jax.lax.Precision.HIGHEST)
+    r1 = mbcg(mv, B, max_iters=80, tol=1e-10)
+    r2 = mbcg(mv, B, max_iters=80, tol=1e-10, early_exit=True)
+    np.testing.assert_array_equal(np.asarray(r1.solves), np.asarray(r2.solves))
+    np.testing.assert_array_equal(np.asarray(r1.alphas), np.asarray(r2.alphas))
+    np.testing.assert_array_equal(np.asarray(r1.betas), np.asarray(r2.betas))

@@ -109,3 +109,44 @@ def test_gp_end_to_end_posterior_matches_oracle():
     var_o = np.diag(Kss - Ks.T @ np.linalg.solve(Kn, Ks))
     np.testing.assert_allclose(np.asarray(post.mean), mu_o, atol=1e-6)
     np.testing.assert_allclose(np.asarray(post.var), var_o, atol=1e-6)
+
+
+def test_mll_custom_vjp_matches_autodiff():
+    """chol.mll's closed-form VJP (½(ααᵀ−Kn⁻¹) one-solve backward) must match
+    differentiating through the factorisation, including the noise gradient
+    (which flows through noised()) and batched inputs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.linalg import solve_triangular
+
+    from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
+
+    rng = np.random.default_rng(5)
+    n = 80
+    A = rng.standard_normal((n, n))
+    K0 = jnp.asarray(A @ A.T / n)
+    y = jnp.asarray(rng.standard_normal(n))
+
+    def mll_auto(K, noise):
+        Kn = chol.noised(K, noise, 1e-8)
+        L = jnp.linalg.cholesky(Kn)
+        z = solve_triangular(L, y[:, None], lower=True)
+        alpha = solve_triangular(L, z, lower=True, trans=1)[:, 0]
+        logdet = 2 * jnp.sum(jnp.log(jnp.diag(L)))
+        return -0.5 * jnp.sum(y * alpha) - 0.5 * logdet - 0.5 * n * chol.LOG_2PI
+
+    def mll_custom(K, noise):
+        return chol.mll(K, y, noise, 1e-8)
+
+    v1, (gK1, gn1) = jax.value_and_grad(mll_auto, argnums=(0, 1))(K0, 0.1)
+    v2, (gK2, gn2) = jax.value_and_grad(mll_custom, argnums=(0, 1))(K0, 0.1)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gK1), np.asarray(gK2), atol=1e-10)
+    np.testing.assert_allclose(float(gn1), float(gn2), rtol=1e-9)
+
+    # batched leading dim
+    Kb = jnp.stack([K0, 2.0 * K0])
+    yb = jnp.stack([y, -y])
+    f = lambda K: jnp.sum(chol.mll(K, yb, 0.05, 1e-8))
+    g = jax.grad(f)(Kb)
+    assert g.shape == Kb.shape and np.all(np.isfinite(np.asarray(g)))
