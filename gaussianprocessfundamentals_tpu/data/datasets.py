@@ -129,10 +129,15 @@ class DataInput:
         ``get_independent_smoothed_grid_subset``
         (``AbstractDataInput.py:138`` is an abstract ``pass``;
         ``BatchDataInput.py:94-95`` raises; ``DataInput.get_subset`` rejects
-        ``SOD_SMOOTHED_GRID``). Default smoothing kernel: SE with lengthscale
-        = per-dimension grid spacing (span/size)."""
+        ``SOD_SMOOTHED_GRID``). Default smoothing bandwidth: SE with an ARD
+        (per-dimension) lengthscale = grid spacing (span/size) in each input
+        dimension, applied by rescaling x per dimension before an isotropic
+        SE — correct on anisotropic multi-dimensional inputs."""
+        import jax
+
         idx = np.unique(np.linspace(0, self.n_train - 1, size).round().astype(int))
         xg = self.x_train[idx]
+        xq, xt = xg, self.x_train
         if smoothing_kernel is None:
             from gaussianprocessfundamentals_tpu.kernels.leaves import (
                 SquaredExponentialKernel,
@@ -140,10 +145,18 @@ class DataInput:
 
             smoothing_kernel = SquaredExponentialKernel()
             span = jnp.max(self.x_train, axis=0) - jnp.min(self.x_train, axis=0)
-            ls = jnp.maximum(jnp.mean(span) / max(size, 1), 1e-12)
-            smoothing_params = {"lengthscale": jnp.asarray(ls, self.x_train.dtype)}
-        w = smoothing_kernel.gram(smoothing_params, xg, self.x_train)  # [m, n]
-        yg = (w @ self.y_train) / jnp.maximum(w.sum(axis=-1), 1e-30)
+            ls = jnp.maximum(span / max(size, 1), 1e-12)  # [d] ARD bandwidth
+            xq, xt = xg / ls, self.x_train / ls
+            smoothing_params = {
+                "lengthscale": jnp.asarray(1.0, self.x_train.dtype)
+            }
+        elif smoothing_params is None:
+            smoothing_params = smoothing_kernel.init_params(
+                self.xrange(), self.n_train, dtype=self.x_train.dtype
+            )
+        w = smoothing_kernel.gram(smoothing_params, xq, xt)  # [m, n]
+        num = jnp.matmul(w, self.y_train, precision=jax.lax.Precision.HIGHEST)
+        yg = num / jnp.maximum(w.sum(axis=-1), 1e-30)
         return dataclasses.replace(self, x_train=xg, y_train=yg)
 
     def split_at_changepoints(self, locations) -> List["DataInput"]:

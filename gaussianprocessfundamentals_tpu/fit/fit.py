@@ -93,6 +93,7 @@ def make_kfold_nll(
     config: GPConfig = DEFAULT_CONFIG,
     optimize_noise: bool = False,
     fixed_noise: float = 0.0,
+    gram_fn: Optional[Callable] = None,
 ) -> Callable:
     """K-fold fit objective: mean over folds of the NLL on each fold's
     TRAINING subset, under one shared hyperparameter set.
@@ -100,23 +101,27 @@ def make_kfold_nll(
     Mirrors the reference's k-fold fitter path (``Optimizer/Fitter.py:27-33``
     builds one metric per fold on a copied GP; ``opt_kfold`` at
     ``Fitter.py:98-99`` averages them with ``tf.reduce_mean``). TPU-native
-    shape: the full Gram matrix is built ONCE, then the k fold objectives are
-    one vmapped masked Cholesky over [k, n, n] (held-out rows replaced by
-    identity rows, exactly corrected in the logdet/constant), instead of k
-    sequential graph evaluations.
+    shape: the full Gram matrix is built ONCE (``gram_fn`` override honoured,
+    as in :func:`make_nll`), then the k fold objectives are one vmapped masked
+    Cholesky over [k, n, n] (held-out rows replaced by identity rows, exactly
+    corrected in the logdet/constant), instead of k sequential graph
+    evaluations.
     """
     from gaussianprocessfundamentals_tpu.models.segmented import masked_nll
     from gaussianprocessfundamentals_tpu.objectives.metrics import kfold_indices
 
     import numpy as np
 
+    if key is None:
+        raise ValueError("make_kfold_nll requires a PRNG key for the fold split")
     n = x.shape[0]
     folds = kfold_indices(n, k, key)
-    masks_np = np.ones((k, n), dtype=np.asarray(x).dtype)
+    masks_np = np.ones((k, n), dtype=np.float64)
     for i, (_, test_idx) in enumerate(folds):
         masks_np[i, test_idx] = 0.0
-    masks = jnp.asarray(masks_np)
+    masks = jnp.asarray(masks_np, dtype=x.dtype)
     kpos, mpos = kernel.positivity(), mean.positivity()
+    gram = gram_fn if gram_fn is not None else kernel.gram
 
     def nll_fn(u):
         kp = constrain(kpos, u["kernel"])
@@ -127,7 +132,7 @@ def make_kfold_nll(
             else jnp.asarray(fixed_noise, x.dtype)
         )
         resid = y - mean.mean(mp, x)
-        K = kernel.gram(kp, x, x)
+        K = gram(kp, x, x)
         vals = jax.vmap(
             lambda m: masked_nll(K, resid, m, noise, config.jitter)
         )(masks)
@@ -339,10 +344,11 @@ def fit(
 
     def attempt(cfg: GPConfig) -> FitResult:
         if kfold > 1:
-            assert key is not None, "kfold requires a PRNG key"
+            if key is None:
+                raise ValueError("fit(kfold>1) requires a PRNG key")
             nll_fn = make_kfold_nll(
                 kernel, mean, x, y, kfold, jr.fold_in(key, 0x5F01D),
-                cfg, optimize_noise, noise,
+                cfg, optimize_noise, noise, gram_fn=gram_fn,
             )
         else:
             nll_fn = make_nll(
@@ -352,7 +358,8 @@ def fit(
             kernel, mean, xrange, n, None, dtype, optimize_noise, max(noise, 1e-6)
         )
         if restarts > 0:
-            assert key is not None, "restarts require a PRNG key"
+            if key is None:
+                raise ValueError("fit(restarts>0) requires a PRNG key")
             inits = [u0] + [
                 init_uparams(
                     kernel, mean, xrange, n, jr.fold_in(key, i), dtype,

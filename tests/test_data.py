@@ -85,3 +85,32 @@ def test_subset_smoothed_grid():
     err_smooth = np.mean((np.asarray(sub.y_train) - truth) ** 2)
     err_raw = np.mean((np.asarray(raw.y_train) - np.sin(6 * np.asarray(raw.x_train)[:, 0])) ** 2)
     assert err_smooth < err_raw
+
+
+def test_subset_smoothed_grid_anisotropic_and_params_default():
+    """ADVICE r1: (a) default bandwidth is per-dimension (ARD) so anisotropic
+    inputs smooth correctly; (b) passing a smoothing_kernel without params
+    builds defaults instead of crashing."""
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.data.datasets import DataInput
+    from gaussianprocessfundamentals_tpu.kernels.leaves import (
+        SquaredExponentialKernel,
+    )
+
+    n = 300
+    rng = np.random.default_rng(1)
+    # dim 0 spans [0, 1], dim 1 spans [0, 1000] — wildly anisotropic
+    x = np.stack([rng.uniform(0, 1, n), rng.uniform(0, 1000, n)], axis=1)
+    y = np.sin(6 * x[:, 0]) + np.cos(x[:, 1] / 200.0) + 0.3 * rng.standard_normal(n)
+    di = DataInput(jnp.asarray(x), jnp.asarray(y), jnp.asarray(x), jnp.asarray(y))
+    sub = di.subset_smoothed_grid(50)
+    assert sub.x_train.shape[0] == 50
+    # with an isotropic mean-span bandwidth (~10), dim 0 would be smoothed
+    # to mush; the ARD default keeps per-point y variation alive
+    assert float(jnp.std(sub.y_train)) > 0.3
+
+    # kernel given, params omitted → defaults, no crash
+    sub2 = di.subset_smoothed_grid(50, smoothing_kernel=SquaredExponentialKernel())
+    assert sub2.y_train.shape == (50,)
+    assert np.all(np.isfinite(np.asarray(sub2.y_train)))

@@ -154,3 +154,34 @@ def test_fit_kfold_decreases_objective(key):
     )
     assert np.isfinite(res.nll_post)
     assert res.nll_post < res.nll_pre
+
+
+def test_kfold_nll_honours_gram_fn(key):
+    """ADVICE r1: fit(kfold>1) must thread a user gram_fn through
+    make_kfold_nll rather than silently using kernel.gram."""
+    from gaussianprocessfundamentals_tpu.fit.fit import make_kfold_nll
+
+    x, y = _data(60)
+    kern = gpf.SquaredExponentialKernel(scaled=True)
+    mean = gpf.ZeroMean()
+    u = init_uparams(kern, mean, [[0.0, 1.0]], x.shape[0], optimize_noise=True,
+                     dtype=x.dtype, init_noise=0.01)
+    calls = []
+
+    def gram_fn(kp, x1, x2):
+        calls.append(1)
+        return kern.gram(kp, x1, x2)
+
+    a = float(make_kfold_nll(kern, mean, x, y, 3, key, optimize_noise=True)(u))
+    b = float(make_kfold_nll(kern, mean, x, y, 3, key, optimize_noise=True,
+                             gram_fn=gram_fn)(u))
+    assert calls, "gram_fn was never invoked"
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_fit_missing_key_raises():
+    x, y = _data(40)
+    with np.testing.assert_raises(ValueError):
+        fit(gpf.SquaredExponentialKernel(), x, y, kfold=3)
+    with np.testing.assert_raises(ValueError):
+        fit(gpf.SquaredExponentialKernel(), x, y, restarts=2)
