@@ -49,7 +49,7 @@ def main() -> None:
 
     import gaussianprocessfundamentals_tpu as gpf
     from gaussianprocessfundamentals_tpu.models.iterative import (
-        iterative_nll_and_grad,
+        iterative_nll_and_grad_device,
     )
 
     rng = np.random.default_rng(0)
@@ -67,21 +67,25 @@ def main() -> None:
     # tol 3e-3 (absolute residual; relative ~1e-5 at these RHS norms) with
     # early-exit mBCG: the rank-256 Nyström preconditioner converges the
     # solves in far fewer than the 50-iteration cap, and SLQ probe noise —
-    # not CG tolerance — dominates the NLL error (BENCHMARKS.md accuracy row)
-    step = lambda: iterative_nll_and_grad(
-        kernel, params, x, y, noise, key,
-        num_probes=8, max_iters=50, block=4096, precond_m=256, tol=3e-3,
-    )
-    out = step()
-    jax.block_until_ready(out)
-    nll, g, gn, resid = out
-    assert float(jnp.max(resid)) < 1e-2, f"CG did not converge: {resid}"
+    # not CG tolerance — dominates the NLL error (BENCHMARKS.md accuracy row).
+    # The _device variant keeps the SLQ logdet on chip (Jacobi tridiagonal
+    # eigensolver), so the whole step is ONE XLA program — one host↔device
+    # round trip (~28 ms through the tunnel) instead of two.
+    def step():
+        nll, g, gn, resid = iterative_nll_and_grad_device(
+            kernel, params, x, y, noise, key,
+            num_probes=8, max_iters=50, block=4096, precond_m=256, tol=3e-3,
+        )
+        # device_get is the only honest sync through the async tunnel
+        return jax.device_get((nll, jnp.max(resid)))
+
+    nll, resid = step()
+    assert float(resid) < 1e-2, f"CG did not converge: {resid}"
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        out = step()
-        jax.block_until_ready(out)
+        nll, resid = step()
         times.append(time.perf_counter() - t0)
     step_ms = float(np.median(times)) * 1e3
 
@@ -99,7 +103,7 @@ def main() -> None:
     )
     print(
         f"iterative step={step_ms:.1f}ms nll={float(nll):.1f} "
-        f"resid={float(jnp.max(resid)):.1e} cpu_f64_forward={t_cpu:.0f}ms "
+        f"resid={float(resid):.1e} cpu_f64_forward={t_cpu:.0f}ms "
         f"backend={jax.default_backend()}",
         file=sys.stderr,
     )

@@ -167,6 +167,107 @@ def slq_logdet(
     return jnp.mean(vals)
 
 
+def _round_robin_pairs(t: int):
+    """Round-robin (circle method) schedule: t-1 rounds of t/2 disjoint pairs
+    covering every index pair exactly once per sweep. Host-side/static."""
+    import numpy as np
+
+    assert t % 2 == 0
+    arr = list(range(t))
+    rounds = []
+    for _ in range(t - 1):
+        pairs = [
+            (min(arr[i], arr[t - 1 - i]), max(arr[i], arr[t - 1 - i]))
+            for i in range(t // 2)
+        ]
+        rounds.append(pairs)
+        arr = [arr[0]] + [arr[-1]] + arr[1:-1]
+    return np.asarray(rounds, np.int32)  # [t-1, t/2, 2]
+
+
+def jacobi_eigh_small(A: jnp.ndarray, sweeps: int = 12):
+    """Eigendecomposition of small symmetric matrices A [..., t, t] by
+    parallel-ordered cyclic Jacobi with a fixed sweep count — jit/TPU-friendly
+    (pure matmul/scatter loop, no LAPACK call, seconds not minutes of XLA:TPU
+    compile unlike ``jnp.linalg.eigh`` at these shapes). Returns (w, V) with
+    A ≈ V·diag(w)·Vᵀ; w unsorted. Intended for t ≲ 200 (the SLQ tridiagonals);
+    use ``jnp.linalg.eigh`` on CPU or for large t.
+    """
+    import numpy as np
+
+    t = A.shape[-1]
+    pad = t % 2
+    if pad:
+        # pad with a decoupled unit eigenpair; the small-angle rotation below
+        # (|θ| ≤ π/4, zero when apq = 0) never mixes or permutes it, so the
+        # pad provably stays in the last position
+        A = jnp.pad(A, [(0, 0)] * (A.ndim - 2) + [(0, 1), (0, 1)])
+        A = A.at[..., t, t].set(1.0)
+        t = t + 1
+    pairs_np = _round_robin_pairs(t)
+    batch = A.shape[:-2]
+    A2 = A.reshape((-1, t, t))
+    V2 = jnp.broadcast_to(jnp.eye(t, dtype=A.dtype), A2.shape)
+
+    def one_round(carry, pq):
+        A, V = carry
+        p, q = pq[:, 0], pq[:, 1]
+        app = A[:, p, p]
+        aqq = A[:, q, q]
+        apq = A[:, p, q]
+        # classic small-angle rotation (Golub & Van Loan §8.5): |θ| ≤ π/4,
+        # exactly zero when apq = 0 — never permutes decoupled eigenpairs
+        apq_safe = jnp.where(apq == 0.0, 1.0, apq)
+        tau = (aqq - app) / (2.0 * apq_safe)
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+        tt = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        tt = jnp.where(apq == 0.0, 0.0, tt)
+        c = 1.0 / jnp.sqrt(1.0 + tt * tt)
+        s = tt * c
+        J = jnp.zeros_like(A)
+        J = J.at[:, p, p].set(c)
+        J = J.at[:, q, q].set(c)
+        J = J.at[:, p, q].set(s)
+        J = J.at[:, q, p].set(-s)
+        hp = jax.lax.Precision.HIGHEST
+        A = jnp.matmul(
+            jnp.matmul(J.transpose(0, 2, 1), A, precision=hp), J, precision=hp
+        )
+        # re-symmetrise against f32 drift
+        A = 0.5 * (A + A.transpose(0, 2, 1))
+        V = jnp.matmul(V, J, precision=hp)
+        return (A, V), None
+
+    sched = jnp.asarray(np.tile(pairs_np, (sweeps, 1, 1)))
+    (A2, V2), _ = jax.lax.scan(one_round, (A2, V2), sched)
+    w = jnp.diagonal(A2, axis1=-2, axis2=-1)
+    if pad:
+        w = w[..., : t - 1]
+        V2 = V2[..., : t - 1, : t - 1]
+        t = t - 1
+    return w.reshape(batch + (t,)), V2.reshape(batch + (t, t))
+
+
+def slq_logdet_device(
+    alphas: jnp.ndarray, betas: jnp.ndarray, z_weights: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """Device-side SLQ logdet — same math as :func:`slq_logdet_host`, with the
+    t×t tridiagonal eigenproblems solved by :func:`jacobi_eigh_small` so the
+    whole NLL step stays ONE device program (no per-step host round trip; the
+    tunnel to a remote chip costs ~30 ms per call, BENCHMARKS.md)."""
+    diag, off = lanczos_tridiag_from_cg(alphas, betas)  # [t, r], [t-1, r]
+    t, r = diag.shape
+    T = (
+        jax.vmap(jnp.diag, in_axes=1, out_axes=0)(diag)
+        + jax.vmap(lambda o: jnp.diag(o, 1) + jnp.diag(o, -1), 1, 0)(off)
+    )  # [r, t, t]
+    w, V = jacobi_eigh_small(T)
+    w = jnp.maximum(w, jnp.finfo(w.dtype).tiny)
+    tau = V[:, 0, :] ** 2
+    vals = z_weights * jnp.sum(tau * jnp.log(w), axis=-1)
+    return jnp.mean(vals)
+
+
 def slq_logdet_host(alphas, betas, z_weights, n: int) -> float:
     """Host-side (NumPy) SLQ — identical math to :func:`slq_logdet` on tiny
     t×t tridiagonals. Exists because ``jnp.linalg.eigh`` inside a jitted TPU

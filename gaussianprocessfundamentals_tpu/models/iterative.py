@@ -42,14 +42,7 @@ def _cot_vjp(kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp):
     return lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "kernel", "num_probes", "max_iters", "block", "precond_m",
-        "mesh", "mesh_axis", "early_exit",
-    ),
-)
-def _iterative_core(
+def _core_impl(
     kernel,
     kernel_params: Any,
     x: jnp.ndarray,
@@ -213,6 +206,42 @@ def _iterative_core(
     )
 
 
+_CORE_STATICS = (
+    "kernel", "num_probes", "max_iters", "block", "precond_m",
+    "mesh", "mesh_axis", "early_exit",
+)
+_iterative_core = partial(jax.jit, static_argnames=_CORE_STATICS)(_core_impl)
+
+
+def _nll_grad_device_impl(
+    kernel, kernel_params, x, y, noise, key,
+    num_probes: int = 8, max_iters: int = 100, block: int = 2048,
+    tol: float = 1e-6, precond_m: int = 128, mesh=None, mesh_axis: str = "tp",
+    early_exit: bool = True,
+):
+    """Fully on-device NLL+grad: SLQ logdet via the Jacobi tridiagonal
+    eigensolver (``linalg.mbcg.slq_logdet_device``) instead of a host round
+    trip. One XLA program per step — essential when the chip sits behind a
+    high-latency tunnel, and what allows :func:`fit_iterative` to compile its
+    whole Adam loop as a single ``lax.scan``."""
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import slq_logdet_device
+
+    n = x.shape[0]
+    data_fit, log_P, al, be, zw, grad_params, grad_noise, resid = _core_impl(
+        kernel, kernel_params, x, y, noise, key,
+        num_probes, max_iters, block, tol, precond_m, mesh, mesh_axis,
+        early_exit,
+    )
+    logdet = log_P + slq_logdet_device(al, be, zw, n)
+    nll = 0.5 * data_fit + 0.5 * logdet + 0.5 * n * LOG_2PI
+    return nll, grad_params, grad_noise, resid
+
+
+iterative_nll_and_grad_device = partial(
+    jax.jit, static_argnames=_CORE_STATICS
+)(_nll_grad_device_impl)
+
+
 def iterative_nll_and_grad(
     kernel, kernel_params, x, y, noise, key,
     num_probes: int = 8, max_iters: int = 100, block: int = 2048,
@@ -260,9 +289,18 @@ def fit_iterative(
     callback=None,
     mesh=None,
     mesh_axis: str = "tp",
+    tol: float = 1e-6,
+    precond_m: int = 128,
 ):
     """Adam over the iterative NLL — exact-GP fitting at N=100k+ scale.
-    With ``mesh``, K row panels shard over ``mesh_axis`` (multi-chip)."""
+    With ``mesh``, K row panels shard over ``mesh_axis`` (multi-chip).
+
+    Without a ``callback`` the ENTIRE Adam loop (Gram → PCG → SLQ →
+    gradient → update, × steps) compiles to one ``lax.scan`` program: a
+    single host↔device round trip per fit instead of two per step (the SLQ
+    logdet runs on device via the Jacobi tridiagonal eigensolver). With a
+    ``callback`` the loop runs step-at-a-time on the host so per-step NLLs
+    can be observed mid-fit."""
     if xrange is None:
         xrange = jnp.stack([x.min(axis=0), x.max(axis=0)], axis=-1)
     pos = kernel.positivity()
@@ -273,34 +311,56 @@ def fit_iterative(
     opt = optax.adam(lr)
     opt_state = opt.init(u)
 
-    def step_fn(u, opt_state, k):
-        # not jitted as a whole: iterative_nll_and_grad's core is jitted and
-        # the SLQ piece is host-side; the optimizer update below is tiny
+    def grads_for(u, k, nll_fn):
         kp = constrain(pos, u["kernel"])
         noise = (
             jnp.exp(u["log_noise"])
             if optimize_noise
             else jnp.asarray(init_noise, x.dtype)
         )
-        nll, g_kp, g_noise, resid = iterative_nll_and_grad(
-            kernel, kp, x, y, noise, k, num_probes, max_iters, block,
-            mesh=mesh, mesh_axis=mesh_axis,
-        )
+        nll, g_kp, g_noise, resid = nll_fn(kp, noise, k)
+        # chain rule through the log-reparameterisation
         g_u = {
             "kernel": jax.tree_util.tree_map(
                 lambda g, p, is_pos: g * p if is_pos else g, g_kp, kp, pos
             ),
             "log_noise": (g_noise * noise) if optimize_noise else jnp.zeros((), x.dtype),
         }
-        updates, opt_state = opt.update(g_u, opt_state, u)
-        return optax.apply_updates(u, updates), opt_state, nll, resid
+        return nll, g_u, resid
 
-    hist = []
-    for i in range(steps):
-        u, opt_state, nll, resid = step_fn(u, opt_state, jr.fold_in(key, i))
-        hist.append(float(nll))
-        if callback is not None:
+    if callback is None:
+        def scan_step(carry, k):
+            u, st = carry
+            nll, g_u, resid = grads_for(
+                u, k,
+                lambda kp, noise, kk: _nll_grad_device_impl(
+                    kernel, kp, x, y, noise, kk, num_probes, max_iters,
+                    block, tol, precond_m, mesh, mesh_axis,
+                ),
+            )
+            updates, st = opt.update(g_u, st, u)
+            return (optax.apply_updates(u, updates), st), nll
+
+        run = jax.jit(
+            lambda u0, st0, ks: jax.lax.scan(scan_step, (u0, st0), ks)
+        )
+        (u, _), hist = run(u, opt_state, jr.split(key, steps))
+    else:
+        hist = []
+        for i in range(steps):
+            nll, g_u, resid = grads_for(
+                u, jr.fold_in(key, i),
+                lambda kp, noise, kk: iterative_nll_and_grad(
+                    kernel, kp, x, y, noise, kk, num_probes, max_iters,
+                    block, tol=tol, precond_m=precond_m,
+                    mesh=mesh, mesh_axis=mesh_axis,
+                ),
+            )
+            updates, opt_state = opt.update(g_u, opt_state, u)
+            u = optax.apply_updates(u, updates)
+            hist.append(float(nll))
             callback(i, float(nll))
+        hist = jnp.asarray(hist)
     kp = constrain(pos, u["kernel"])
     noise = jnp.exp(u["log_noise"]) if optimize_noise else jnp.asarray(init_noise)
     return kp, noise, jnp.asarray(hist)

@@ -152,3 +152,67 @@ def test_mbcg_early_exit_matches_scan():
     np.testing.assert_array_equal(np.asarray(r1.solves), np.asarray(r2.solves))
     np.testing.assert_array_equal(np.asarray(r1.alphas), np.asarray(r2.alphas))
     np.testing.assert_array_equal(np.asarray(r1.betas), np.asarray(r2.betas))
+
+
+def test_device_slq_matches_host_and_cholesky(key):
+    """Fully on-device NLL (Jacobi-eigh SLQ) == host-SLQ NLL == Cholesky NLL
+    within probe tolerance; gradients identical between host/device paths."""
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_nll_and_grad_device,
+    )
+
+    x, y = _data(150)
+    noise = 0.3
+    val_e = float(chol.nll(K_SE.gram(P_SE, x, x), y, noise, 0.0))
+    nll_h, g_h, gn_h, _ = iterative_nll_and_grad(
+        K_SE, P_SE, x, y, noise, key, num_probes=32, max_iters=150, block=64
+    )
+    nll_d, g_d, gn_d, resid = iterative_nll_and_grad_device(
+        K_SE, P_SE, x, y, noise, key, num_probes=32, max_iters=150, block=64
+    )
+    assert float(jnp.max(resid)) < 1e-4
+    np.testing.assert_allclose(float(nll_d), float(nll_h), rtol=1e-5)
+    np.testing.assert_allclose(float(nll_d), val_e, rtol=0.02)
+    np.testing.assert_allclose(
+        float(g_d["lengthscale"]), float(g_h["lengthscale"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(gn_d), float(gn_h), rtol=1e-5)
+
+
+def test_jacobi_eigh_small_matches_numpy():
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import jacobi_eigh_small
+
+    rng = np.random.default_rng(0)
+    for t in (4, 17, 50):
+        A = rng.standard_normal((3, t, t))
+        A = (A + A.transpose(0, 2, 1)) / 2
+        w, V = jacobi_eigh_small(jnp.asarray(A))
+        w, V = np.asarray(w), np.asarray(V)
+        np.testing.assert_allclose(
+            A @ V, V * w[:, None, :], atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.sort(w, -1), np.sort(np.linalg.eigvalsh(A), -1), atol=1e-10
+        )
+
+
+def test_fit_iterative_scan_loop_matches_callback_loop(key):
+    """The single-program lax.scan fit loop must track the step-at-a-time
+    host loop (identical math, same PRNG stream)."""
+    x, y = _data(200, seed=2)
+    k = gpf.SquaredExponentialKernel(scaled=True)
+    kp_s, nz_s, hist_s = fit_iterative(
+        k, x, y, key, steps=15, lr=0.1, num_probes=8, max_iters=80, block=64
+    )
+    seen = []
+    kp_c, nz_c, hist_c = fit_iterative(
+        k, x, y, key, steps=15, lr=0.1, num_probes=8, max_iters=80, block=64,
+        callback=lambda i, v: seen.append(v),
+    )
+    assert len(seen) == 15
+    np.testing.assert_allclose(
+        np.asarray(hist_s), np.asarray(hist_c), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(kp_s["lengthscale"]), float(kp_c["lengthscale"]), rtol=1e-4
+    )
