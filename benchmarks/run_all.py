@@ -67,6 +67,56 @@ def bench_full_fit(n, dtype):
             "nll_post": round(res.nll_post, 1)}
 
 
+def bench_iterative_fit(n, steps, dtype):
+    """North star (BASELINE.md): exact-GP fit at large N on one chip —
+    factorisation-free mBCG+SLQ path, whole Adam loop as one lax.scan
+    program. K is streamed (never materialised) above 40k."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    import gaussianprocessfundamentals_tpu as gpf
+    from gaussianprocessfundamentals_tpu.models.iterative import fit_iterative
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0, 1, (n, 1)), 0), dtype)
+    y = jnp.asarray(np.sin(8 * np.asarray(x)[:, 0])
+                    + 0.1 * rng.standard_normal(n), dtype)
+    t0 = time.perf_counter()
+    kp, noise, hist = fit_iterative(
+        gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(0),
+        steps=steps, lr=0.1, num_probes=8, max_iters=50, block=4096,
+        precond_m=256, tol=3e-3,
+    )
+    hist_h = jax.device_get(hist)
+    dt = time.perf_counter() - t0
+    return {"config": "exact_fit_iterative", "n": n, "steps": steps,
+            "s": round(dt, 2), "s_per_step": round(dt / steps, 3),
+            "nll_first": round(float(hist_h[0]), 1),
+            "nll_last": round(float(hist_h[-1]), 1)}
+
+
+def bench_mauna_loa(dtype):
+    """Config 2: composite kernel grammar (SE·PER + SE + LIN) on Mauna Loa."""
+    import jax.numpy as jnp
+
+    import gaussianprocessfundamentals_tpu as gpf
+
+    di = gpf.load_named("mauna_loa")
+    kern = (gpf.SquaredExponentialKernel(scaled=True) * gpf.PeriodicKernel()
+            + gpf.SquaredExponentialKernel() + gpf.LinearKernel())
+    gp = gpf.GaussianProcess(kern)
+    x, y = jnp.asarray(di.x_train, dtype), jnp.asarray(di.y_train, dtype)
+    t0 = time.perf_counter()
+    res = gp.fit(x, y, optimize_noise=True)
+    dt = time.perf_counter() - t0
+    mu, _, _ = gp.predict(jnp.asarray(di.x_test, dtype))
+    mse = float(np.mean((np.asarray(mu) - np.asarray(di.y_test)) ** 2))
+    return {"config": "mauna_loa_composite", "n": int(di.n_train),
+            "s": round(dt, 2), "nll_post": round(res.nll_post, 1),
+            "test_mse": round(mse, 6)}
+
+
 def bench_nuts(n, chains, dtype):
     """Config 3: NUTS samples/s."""
     import jax
@@ -168,6 +218,8 @@ def main():
     for rec in [
         bench_exact_fit_step(1_000 if q else 10_000, dtype),
         bench_full_fit(1_000 if q else 10_000, dtype),
+        bench_mauna_loa(dtype),
+        bench_iterative_fit(2_000 if q else 100_000, 10 if q else 100, dtype),
         bench_nuts(200 if q else 1_000, 2 if q else 8, dtype),
         bench_svgp(5_000 if q else 100_000, 64 if q else 512,
                    100 if q else 1_000, dtype),

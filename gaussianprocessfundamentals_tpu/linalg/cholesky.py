@@ -33,10 +33,27 @@ def add_diag(K: jnp.ndarray, v) -> jnp.ndarray:
     return K + v[..., None, None] * eye if v.ndim else K + v * eye
 
 
+def effective_jitter(K: jnp.ndarray, jitter, eps_factor: float = 100.0) -> jnp.ndarray:
+    """Dtype-aware jitter floor: max(jitter, eps_factor·eps·mean diag(K)).
+
+    The reference's fixed 1e-8 (``global_parameters.py:45``) assumes f64. An
+    f32 Gram matrix carries O(eps·‖K‖) rounding asymmetry (measured: SE K_mm
+    at m=64 has min eig ≈ −8e-7), so 1e-8 underflows and the Cholesky NaNs.
+    In f64 the floor (~2e-14·diag) sits below 1e-8, leaving reference
+    semantics untouched. Paths whose matrices drift toward singularity by
+    design (SVGP inducing points colliding mid-optimisation) pass a larger
+    ``eps_factor``."""
+    eps = jnp.finfo(K.dtype).eps
+    mean_diag = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)
+    floor = jax.lax.stop_gradient(eps_factor * eps * mean_diag)
+    return jnp.maximum(jnp.asarray(jitter, K.dtype), floor.astype(K.dtype))
+
+
 def noised(K: jnp.ndarray, noise, jitter: float) -> jnp.ndarray:
     """K + (σ² + jitter)·I — reference adds σ²·I (``CovarianceMatrix.py:197-206``)
-    with jitter 1e-8 on every diagonal (``global_parameters.py:45``)."""
-    return add_diag(K, jnp.asarray(noise, K.dtype) + jnp.asarray(jitter, K.dtype))
+    with jitter 1e-8 on every diagonal (``global_parameters.py:45``; here the
+    jitter gets a dtype-aware floor, :func:`effective_jitter`)."""
+    return add_diag(K, jnp.asarray(noise, K.dtype) + effective_jitter(K, jitter))
 
 
 class CholState(NamedTuple):

@@ -64,7 +64,14 @@ def _whitened_marginals(kernel, kp, z, q_mu, q_sqrt, x, jitter):
     """q(f(x)) marginals: mean A q_mu, var k_diag − ‖a‖² + ‖Aᵀ? ...; with
     A = L_mm⁻¹ K_mx (whitened cross-weights)."""
     K_mm = kernel.gram(kp, z, z)
-    L_mm = jnp.linalg.cholesky(add_diag(K_mm, jitter))
+    from gaussianprocessfundamentals_tpu.linalg.cholesky import effective_jitter
+
+    # eps_factor 2000: inducing points routinely collide mid-optimisation
+    # (measured min-eig drift ~ −1e-6 in f32 at m=64), and the variational
+    # bound stays a valid bound under any prior jitter
+    L_mm = jnp.linalg.cholesky(
+        add_diag(K_mm, effective_jitter(K_mm, jitter, eps_factor=2000.0))
+    )
     K_mx = kernel.gram(kp, z, x)  # [m, b]
     A = solve_triangular(L_mm, K_mx, lower=True)  # [m, b]
     mean = A.T @ q_mu
@@ -156,6 +163,16 @@ def fit_svgp(
         # replacement would permute all n points every minibatch)
         idx = jr.randint(k, (batch_size,), 0, n)
         loss, g = jax.value_and_grad(loss_fn)(p, x[idx], y[idx])
+        # NaN guard: a single degenerate minibatch (e.g. colliding inducing
+        # points at the jitter floor) must not poison the Adam moments —
+        # skip the update and keep optimising (cf. the reference's LCG NaN
+        # bail-out, Auxiliary/LinearConjugateGradients.py:21-24)
+        finite = jnp.isfinite(loss) & jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(g)])
+        )
+        g = jax.tree_util.tree_map(
+            lambda l: jnp.where(finite, l, jnp.zeros_like(l)), g
+        )
         updates, st = opt.update(g, st, p)
         p = optax.apply_updates(p, updates)
         return (p, st), loss

@@ -167,3 +167,26 @@ def test_ski_toeplitz_matches_dense_ski():
     np.testing.assert_allclose(got, want, atol=1e-8)
     mll_t = float(ski_mll_toeplitz(K_SE, p, x, y, grid, 0.1, 1e-8))
     assert np.isfinite(mll_t)
+
+
+def test_svgp_f32_stable(key):
+    """f32 SVGP regression (r2): jitter floor + NaN-guard must survive
+    inducing-point collisions during optimisation (TPU-native precision)."""
+    from gaussianprocessfundamentals_tpu.models.svgp import svgp_predict
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    x = jnp.asarray(rng.uniform(0, 1, (n, 1)), jnp.float32)
+    y = jnp.asarray(
+        np.sin(12 * np.asarray(x)[:, 0]) + 0.1 * rng.standard_normal(n),
+        jnp.float32,
+    )
+    params, hist = fit_svgp(
+        gpf.SquaredExponentialKernel(scaled=True), x, y,
+        m=64, steps=400, batch_size=2048, key=key,
+    )
+    h = np.asarray(hist)
+    assert np.isnan(h).sum() == 0
+    assert h[-1] < h[0]
+    fm, _ = svgp_predict(gpf.SquaredExponentialKernel(scaled=True), params, x)
+    assert float(jnp.mean((fm - y) ** 2)) < 0.1 * float(jnp.var(y))
