@@ -209,23 +209,37 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated config indices to run (0-6)")
     args = ap.parse_args()
 
     q = args.quick
     dtype = jnp.float32
     print(json.dumps({"backend": jax.default_backend(),
-                      "devices": len(jax.devices())}))
-    for rec in [
-        bench_exact_fit_step(1_000 if q else 10_000, dtype),
-        bench_full_fit(1_000 if q else 10_000, dtype),
-        bench_mauna_loa(dtype),
-        bench_iterative_fit(2_000 if q else 100_000, 10 if q else 100, dtype),
-        bench_nuts(200 if q else 1_000, 2 if q else 8, dtype),
-        bench_svgp(5_000 if q else 100_000, 64 if q else 512,
-                   100 if q else 1_000, dtype),
-        bench_distributed(512 if q else 16_384, 64 if q else 512, dtype),
-    ]:
-        print(json.dumps(rec), flush=True)
+                      "devices": len(jax.devices())}), flush=True)
+    thunks = [
+        lambda: bench_exact_fit_step(1_000 if q else 10_000, dtype),
+        lambda: bench_full_fit(1_000 if q else 10_000, dtype),
+        lambda: bench_mauna_loa(dtype),
+        lambda: bench_iterative_fit(2_000 if q else 100_000,
+                                    10 if q else 100, dtype),
+        lambda: bench_nuts(200 if q else 1_000, 2 if q else 8, dtype),
+        lambda: bench_svgp(5_000 if q else 100_000, 64 if q else 512,
+                           100 if q else 1_000, dtype),
+        lambda: bench_distributed(512 if q else 16_384, 64 if q else 512,
+                                  dtype),
+    ]
+    if args.only:
+        wanted = set(args.only.split(","))
+        thunks = [t for i, t in enumerate(thunks) if str(i) in wanted]
+    for thunk in thunks:
+        # one config crashing (e.g. a TPU worker restart through the tunnel)
+        # must not lose the records already produced
+        try:
+            print(json.dumps(thunk()), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -248,8 +248,9 @@ def load_named(name: str, test_ratio: float = 0.2, **kw) -> DataInput:
     path = os.path.join(DATA_DIR, fname)
     if os.path.exists(path):
         return load_csv(path, x_cols, y_col, test_ratio=test_ratio, **kw)
-    if name == "mauna_loa":
-        x, y = synth_mauna_loa()
+    synth = _SYNTH_FALLBACKS.get(name)
+    if synth is not None:
+        x, y = synth()
         return DataInput.from_arrays(x, y, test_ratio=test_ratio, **kw)
     raise FileNotFoundError(
         f"dataset csv not found: {path}; place the file or use synthetic data"
@@ -281,3 +282,54 @@ def synth_mauna_loa(n: int = 720) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(42)
     y = trend + seasonal + 0.3 * rng.standard_normal(n)
     return t[:, None], y
+
+
+def synth_solar_irradiance(n: int = 800) -> Tuple[np.ndarray, np.ndarray]:
+    """Solar-irradiance-shaped series: slow secular trend + ~11-year cycle
+    (shape stand-in for reference dataset d1, ``DatasetHandler.py:138-142``)."""
+    t = np.linspace(1700.0, 2000.0, n)
+    rng = np.random.default_rng(1)
+    y = (1360.0 + 0.3 * np.sin(2 * np.pi * (t - 1700.0) / 11.0)
+         + 0.15 * np.sin(2 * np.pi * (t - 1700.0) / 90.0)
+         + 0.05 * rng.standard_normal(n))
+    return t[:, None], y
+
+
+def synth_power_plant(n: int = 2000) -> Tuple[np.ndarray, np.ndarray]:
+    """4-D input → power output, mirroring the CCPP dataset's shape
+    (reference d3, ``DatasetHandler.py:148-152``: ambient temperature,
+    exhaust vacuum, ambient pressure, relative humidity → net energy)."""
+    rng = np.random.default_rng(3)
+    at = rng.uniform(2.0, 36.0, n)
+    v = rng.uniform(25.0, 82.0, n)
+    ap = rng.uniform(993.0, 1034.0, n)
+    rh = rng.uniform(25.0, 100.0, n)
+    y = (480.0 - 1.9 * at - 0.3 * v + 0.06 * (ap - 1013.0)
+         - 0.015 * rh + 1.2 * rng.standard_normal(n))
+    return np.stack([at, v, ap, rh], axis=1), y
+
+
+def synth_seasonal_series(n: int, start: float, stop: float, base: float,
+                          amp: float, period: float, noise_sd: float,
+                          seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Generic seasonal 1-D series (stand-in for the reference's remaining
+    time-series datasets d4/d8/d15, ``DatasetHandler.py:153-172``)."""
+    t = np.linspace(start, stop, n)
+    rng = np.random.default_rng(seed)
+    y = (base + amp * np.sin(2 * np.pi * t / period)
+         + 0.3 * amp * np.sin(4 * np.pi * t / period)
+         + noise_sd * rng.standard_normal(n))
+    return t[:, None], y
+
+
+_SYNTH_FALLBACKS = {
+    "mauna_loa": synth_mauna_loa,
+    "solar_irradiance": synth_solar_irradiance,
+    "power_plant": synth_power_plant,
+    "gefcom": lambda: synth_seasonal_series(1500, 0.0, 62.0, 100.0, 30.0,
+                                            1.0, 0.05 * 30.0, 4),
+    "temperature": lambda: synth_seasonal_series(1000, 0.0, 10.0, 12.0, 8.0,
+                                                 1.0, 1.5, 8),
+    "births": lambda: synth_seasonal_series(1460, 0.0, 4.0, 10000.0, 600.0,
+                                            1.0, 250.0, 15),
+}

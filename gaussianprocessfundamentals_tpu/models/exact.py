@@ -164,6 +164,11 @@ class GaussianProcess:
         return res
 
     def _ensure_params(self):
+        if self.x_train is None:
+            raise ValueError(
+                "no training data attached: call set_data(x, y) or "
+                "fit(x, y) before predict/posterior/sample"
+            )
         if self.kernel_params is None:
             xr = jnp.stack(
                 [self.x_train.min(axis=0), self.x_train.max(axis=0)], axis=-1

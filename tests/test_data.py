@@ -55,6 +55,18 @@ def test_named_dataset_synthetic_fallback():
     assert di.n_train > 100 and di.x_train.shape[1] == 1
 
 
+def test_all_named_datasets_have_fallbacks():
+    """Every reference-named dataset (DatasetHandler.py:138-172) loads even
+    without its CSV; power_plant keeps the reference's 4-D input shape."""
+    dims = {"solar_irradiance": 1, "mauna_loa": 1, "power_plant": 4,
+            "gefcom": 1, "temperature": 1, "births": 1}
+    for name, d in dims.items():
+        di = gpf.load_named(name)
+        assert di.x_train.shape[1] == d, name
+        assert di.n_train > 100, name
+        assert np.all(np.isfinite(np.asarray(di.y_train))), name
+
+
 def test_kfold(key):
     folds = kfold_indices(50, 5, key)
     assert len(folds) == 5
