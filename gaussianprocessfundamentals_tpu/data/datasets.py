@@ -108,6 +108,17 @@ class DataInput:
         """max(20, ratio·n) (reference ``AbstractDataInput.py:80-84``)."""
         return max(20, int(ratio * self.n_train))
 
+    def rescale_kernel_params(self, kernel, params):
+        """Fitted kernel params re-expressed in the ORIGINAL x units, undoing
+        this input's min-max normalisation (reference
+        ``get_last_hyper_parameter(scaling_x_param)``,
+        ``BaseKernels.py:259-264,417-422``). No-op when x was not normalised."""
+        if self.x_norm is None:
+            return params
+        span = np.where(self.x_norm.hi > self.x_norm.lo,
+                        self.x_norm.hi - self.x_norm.lo, 1.0)
+        return kernel.x_rescale(params, self.x_norm.lo, span)
+
     # --- subset-of-data (reference DataInput.py:126-178) -----------------
     def subset_random(self, size: int, seed: int = 0) -> "DataInput":
         idx = np.sort(np.asarray(jr.permutation(jr.PRNGKey(seed), self.n_train)[:size]))

@@ -98,6 +98,18 @@ class Kernel:
         """
         raise NotImplementedError
 
+    def x_rescale(self, params: Params, shift, scale) -> Params:
+        """Fitted params re-expressed in ORIGINAL (unnormalised) x units,
+        given the normalisation ``x_norm = (x − shift) / scale``.
+
+        Mirrors the reference's ``get_last_hyper_parameter(scaling_x_param)``
+        (``BaseKernels.py:259-264,417-422,617-622,836-846,996-1006``):
+        x-length params (lengthscale, period) multiply by the scale,
+        x-position params (linear offset) map affinely, everything else
+        (variances, RQ alpha) is unit-free and passes through.
+        """
+        raise NotImplementedError
+
     # --- structure -------------------------------------------------------
     @property
     def children(self) -> Tuple["Kernel", ...]:

@@ -99,6 +99,33 @@ class LeafKernel(Kernel):
             hi["variance"] = np.inf
         return lo, hi
 
+    # x-unit semantics per param name: "length" multiplies by the x scale,
+    # "position" maps affinely (·scale + shift); anything else is unit-free.
+    # Matches the reference's per-kernel rescaling rules
+    # (get_last_hyper_parameter(scaling_x_param), BaseKernels.py:259-264
+    # offset affine, :417-422 SE ℓ·scale, :617-622 PER [ℓ, p]·scale,
+    # :836-846/:996-1006 Matérn ℓ·scale).
+    _X_UNITS = {"lengthscale": "length", "period": "length",
+                "offset": "position"}
+
+    def x_rescale(self, params, shift, scale):
+        shift = jnp.asarray(shift)
+        scale = jnp.asarray(scale)
+        # isotropic (scalar) length params on multi-d inputs need a scalar
+        # scale; exact only when the per-dim scales agree (the reference uses
+        # the dim-0 range throughout)
+        s_iso = jnp.mean(scale)
+        out = {}
+        for name, v in params.items():
+            unit = self._X_UNITS.get(name)
+            if unit == "length":
+                out[name] = v * (s_iso if jnp.ndim(v) == 0 else scale)
+            elif unit == "position":
+                out[name] = v * scale + shift
+            else:
+                out[name] = v
+        return out
+
     @staticmethod
     def _lengthscale_bounds(xr: np.ndarray, n: int):
         """Shared SE/PER/Matérn lengthscale bounds [5·range/n, range/3]
@@ -227,6 +254,13 @@ KERNEL_ALIAS = {"RBFKernel": SquaredExponentialKernel}
 class PeriodicKernel(LeafKernel):
     """k = exp(−2 sin²(π·d/p) / ℓ²), d = Manhattan
     (reference ``BaseKernels.py:440-457``; params ordered [ℓ, p])."""
+
+    # PER's lengthscale divides the DIMENSIONLESS sin² term, so it carries no
+    # x units and must not rescale; only the period is an x-length. (The
+    # reference multiplies both by the scale, ``BaseKernels.py:617-622`` —
+    # that changes the kernel's values under normalisation; quirk not
+    # replicated, see test_x_rescale_invariance.)
+    _X_UNITS = {"period": "length"}
 
     def _gram(self, p, x1, x2):
         d = dist.manhattan(x1, x2)

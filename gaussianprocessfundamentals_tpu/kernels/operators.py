@@ -47,6 +47,16 @@ class Operator(Kernel):
         los, his = zip(*(c.bounds(xrange, n) for c in self.children))
         return {"children": tuple(los)}, {"children": tuple(his)}
 
+    def x_rescale(self, params, shift, scale):
+        """Recurse over children (reference operator rescaling,
+        ``Operators.py:107-113``)."""
+        out = dict(params)
+        out["children"] = tuple(
+            c.x_rescale(p, shift, scale)
+            for c, p in zip(self.children, params["children"])
+        )
+        return out
+
 
 @register_kernel
 @dataclasses.dataclass(frozen=True)
@@ -188,6 +198,19 @@ class ChangePoint(Operator):
         lo["locations"] = np.full((k,), xr[0, 0] - 1.5 * r)
         hi["locations"] = np.full((k,), xr[0, 1] + 1.5 * r)
         return lo, hi
+
+    def x_rescale(self, params, shift, scale):
+        """Children recursed; change-point locations are x-positions so they
+        map affinely. (The reference passes CP positions through UNrescaled,
+        ``Operators.py:617-628`` — that loses the positions' x units; the
+        affine map here is the evident intent.)"""
+        out = super().x_rescale(params, shift, scale)
+        shift0 = jnp.asarray(shift)
+        scale0 = jnp.asarray(scale)
+        if shift0.ndim:  # per-dim normalisation: CP gates act on dim 0
+            shift0, scale0 = shift0[0], scale0[0]
+        out["locations"] = params["locations"] * scale0 + shift0
+        return out
 
     def __str__(self):
         return "(" + " ][ ".join(str(c) for c in self.children) + ")"

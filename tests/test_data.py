@@ -126,3 +126,20 @@ def test_subset_smoothed_grid_anisotropic_and_params_default():
     sub2 = di.subset_smoothed_grid(50, smoothing_kernel=SquaredExponentialKernel())
     assert sub2.y_train.shape == (50,)
     assert np.all(np.isfinite(np.asarray(sub2.y_train)))
+
+
+def test_rescale_kernel_params_roundtrip():
+    """DataInput.rescale_kernel_params maps fitted lengthscales back to the
+    original x units via the stored min-max normalisation."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(100.0, 300.0, (50, 1))
+    y = np.sin(x[:, 0] / 30.0)
+    di = gpf.DataInput.from_arrays(x, y, test_ratio=0.0)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.1, jnp.float32)}
+    p_orig = di.rescale_kernel_params(k, p)
+    span = float(x.max() - x.min())
+    np.testing.assert_allclose(float(p_orig["lengthscale"]), 0.1 * span,
+                               rtol=1e-4)

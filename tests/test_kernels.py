@@ -207,3 +207,59 @@ def test_rq_limits_to_se():
         {"lengthscale": jnp.asarray(0.3), "alpha": jnp.asarray(1e6)}, x, x
     )
     np.testing.assert_allclose(np.asarray(rq), np.asarray(se), atol=1e-4)
+
+
+def test_x_rescale_invariance():
+    """Rescaled fitted params on ORIGINAL x reproduce the Gram computed with
+    the fitted params on NORMALISED x (reference
+    get_last_hyper_parameter(scaling_x_param), BaseKernels.py:259-264,
+    417-422, 617-622)."""
+    rng = np.random.default_rng(0)
+    x_orig = jnp.asarray(rng.uniform(3.0, 11.0, (20, 1)))
+    shift, scale = 3.0, 8.0
+    x_norm = (x_orig - shift) / scale
+
+    kern = (
+        gpf.SquaredExponentialKernel(scaled=True) * gpf.PeriodicKernel()
+        + gpf.Matern52Kernel()
+        + gpf.RationalQuadraticKernel()
+    )
+    p_fit = kern.init_params([[0.0, 1.0]], 20)
+    K_norm = kern.gram(p_fit, x_norm, x_norm)
+    p_orig = kern.x_rescale(p_fit, shift, scale)
+    K_orig = kern.gram(p_orig, x_orig, x_orig)
+    np.testing.assert_allclose(np.asarray(K_orig), np.asarray(K_norm),
+                               rtol=2e-6, atol=2e-6)
+
+    # linear: offset maps affinely (reference BaseKernels.py:259-264); the
+    # gram then scales by scale² — the kernel's output carries x units, so
+    # value invariance is definitionally impossible without a variance param
+    lin = gpf.LinearKernel()
+    pl = {"offset": jnp.asarray([0.4])}
+    pl2 = lin.x_rescale(pl, shift, scale)
+    np.testing.assert_allclose(np.asarray(pl2["offset"]), [0.4 * scale + shift])
+    K_l_norm = lin.gram(pl, x_norm, x_norm)
+    K_l_orig = lin.gram(pl2, x_orig, x_orig)
+    np.testing.assert_allclose(np.asarray(K_l_orig),
+                               np.asarray(K_l_norm) * scale**2, rtol=2e-6)
+
+
+def test_x_rescale_changepoint_locations():
+    """CP locations are x-positions: affine map under rescaling (deliberate
+    fix of the reference's pass-through, Operators.py:617-628)."""
+    cp = gpf.ChangePoint(
+        children=(gpf.SquaredExponentialKernel(), gpf.Matern32Kernel())
+    )
+    p = cp.init_params([[0.0, 1.0]], 50)
+    p2 = cp.x_rescale(p, 3.0, 8.0)
+    np.testing.assert_allclose(
+        np.asarray(p2["locations"]), np.asarray(p["locations"]) * 8.0 + 3.0
+    )
+    # invariance of the full CP gram under the rescale
+    rng = np.random.default_rng(1)
+    x_orig = jnp.asarray(np.sort(rng.uniform(3.0, 11.0, (30, 1)), 0))
+    x_norm = (x_orig - 3.0) / 8.0
+    K_norm = cp.gram(p, x_norm, x_norm)
+    K_orig = cp.gram(p2, x_orig, x_orig)
+    np.testing.assert_allclose(np.asarray(K_orig), np.asarray(K_norm),
+                               rtol=2e-6, atol=2e-6)
