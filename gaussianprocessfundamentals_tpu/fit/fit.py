@@ -181,10 +181,26 @@ def adam_run(nll_fn, u0, steps: int = 300, lr: float = 0.05):
     return u, hist
 
 
-@partial(jax.jit, static_argnames=("nll_fn", "max_iters", "tol"))
-def lbfgs_run(nll_fn, u0, max_iters: int = 200, tol: float = 1e-8):
-    """L-BFGS with zoom linesearch; stops on gradient-norm < tol or NaN."""
-    opt = optax.lbfgs()
+@partial(jax.jit, static_argnames=("nll_fn", "max_iters", "tol", "linesearch"))
+def lbfgs_run(nll_fn, u0, max_iters: int = 200, tol: float = 1e-8,
+              linesearch: str = "zoom"):
+    """L-BFGS under ``lax.while_loop``; stops on gradient-norm < tol or NaN.
+
+    ``linesearch``: "zoom" (strong-Wolfe, default) or "backtracking". The
+    zoom linesearch nests a second while_loop of full value+grad graphs inside
+    the L-BFGS body; at n ≳ 10k (f32, v5e) that program crashes the TPU
+    worker (measured r2: zoom at n=10k kills the worker, backtracking
+    completes in 241 s to the same optimum), so :func:`fit` selects
+    backtracking above ``_ZOOM_MAX_N`` rows.
+    """
+    if linesearch == "backtracking":
+        opt = optax.lbfgs(
+            linesearch=optax.scale_by_backtracking_linesearch(
+                max_backtracking_steps=25, store_grad=True
+            )
+        )
+    else:
+        opt = optax.lbfgs()
     vg = optax.value_and_grad_from_state(nll_fn)
 
     def cond(carry):
@@ -308,6 +324,9 @@ def scipy_run(nll_fn, u0, method: str = "BFGS", max_iters: int = 500):
     return unravel(jnp.asarray(res.x, u0_flat.dtype)), None
 
 
+_ZOOM_MAX_N = 4096
+
+
 def fit(
     kernel,
     x: jnp.ndarray,
@@ -341,6 +360,9 @@ def fit(
         xrange = jnp.stack([x.min(axis=0), x.max(axis=0)], axis=-1)
     n = x.shape[0]
     dtype = x.dtype
+    # zoom linesearch's nested while_loop crashes the TPU worker at large n
+    # (see lbfgs_run); backtracking is the stable large-n choice
+    ls = "zoom" if n <= _ZOOM_MAX_N else "backtracking"
 
     def attempt(cfg: GPConfig) -> FitResult:
         if kfold > 1:
@@ -368,8 +390,10 @@ def fit(
                 for i in range(restarts)
             ]
             u0s = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
-            runner = adam_run if method == "adam" else lbfgs_run
-            run1 = lambda u: runner(nll_fn, u, steps, lr) if method == "adam" else runner(nll_fn, u)
+            if method == "adam":
+                run1 = lambda u: adam_run(nll_fn, u, steps, lr)
+            else:
+                run1 = lambda u: lbfgs_run(nll_fn, u, linesearch=ls)
             us, _ = jax.vmap(run1)(u0s)
             losses = jax.vmap(nll_fn)(us)
             safe = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
@@ -384,7 +408,7 @@ def fit(
                     nll_fn, u0, "BFGS" if method == "scipy-bfgs" else "CG"
                 )
             else:
-                u, hist = lbfgs_run(nll_fn, u0)
+                u, hist = lbfgs_run(nll_fn, u0, linesearch=ls)
             rl = None
         nll_pre = float(nll_fn(u0))
         nll_post = float(nll_fn(u))
