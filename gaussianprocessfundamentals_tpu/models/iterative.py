@@ -291,9 +291,19 @@ def fit_iterative(
     mesh_axis: str = "tp",
     tol: float = 1e-6,
     precond_m: int = 128,
+    early_exit: bool = True,
+    scan_chunk: int = 0,
 ):
     """Adam over the iterative NLL — exact-GP fitting at N=100k+ scale.
     With ``mesh``, K row panels shard over ``mesh_axis`` (multi-chip).
+
+    ``early_exit=False`` replaces the mBCG ``while_loop`` with a fixed-length
+    ``scan`` — all 50 iterations always run, but the compiled program has no
+    nested while_loop (the pattern that crashes the TPU worker in very large
+    programs, cf. ``fit.lbfgs_run``'s zoom note). ``scan_chunk > 0`` splits
+    the step scan into ceil(steps/chunk) separate device calls of ``chunk``
+    steps each — a few extra tunnel round trips in exchange for a much
+    smaller XLA program.
 
     Without a ``callback`` the ENTIRE Adam loop (Gram → PCG → SLQ →
     gradient → update, × steps) compiles to one ``lax.scan`` program: a
@@ -335,7 +345,7 @@ def fit_iterative(
                 u, k,
                 lambda kp, noise, kk: _nll_grad_device_impl(
                     kernel, kp, x, y, noise, kk, num_probes, max_iters,
-                    block, tol, precond_m, mesh, mesh_axis,
+                    block, tol, precond_m, mesh, mesh_axis, early_exit,
                 ),
             )
             updates, st = opt.update(g_u, st, u)
@@ -344,7 +354,16 @@ def fit_iterative(
         run = jax.jit(
             lambda u0, st0, ks: jax.lax.scan(scan_step, (u0, st0), ks)
         )
-        (u, _), hist = run(u, opt_state, jr.split(key, steps))
+        keys = jr.split(key, steps)
+        if scan_chunk and scan_chunk < steps:
+            st, hists = opt_state, []
+            for c0 in range(0, steps, scan_chunk):
+                kc = keys[c0:c0 + scan_chunk]
+                (u, st), h = run(u, st, kc)
+                hists.append(h)
+            hist = jnp.concatenate(hists)
+        else:
+            (u, _), hist = run(u, opt_state, keys)
     else:
         hist = []
         for i in range(steps):
@@ -353,7 +372,7 @@ def fit_iterative(
                 lambda kp, noise, kk: iterative_nll_and_grad(
                     kernel, kp, x, y, noise, kk, num_probes, max_iters,
                     block, tol=tol, precond_m=precond_m,
-                    mesh=mesh, mesh_axis=mesh_axis,
+                    mesh=mesh, mesh_axis=mesh_axis, early_exit=early_exit,
                 ),
             )
             updates, opt_state = opt.update(g_u, opt_state, u)
