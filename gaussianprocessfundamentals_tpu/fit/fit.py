@@ -43,6 +43,9 @@ class FitResult:
     nll_post: float
     history: Optional[jnp.ndarray] = None
     restart_losses: Optional[jnp.ndarray] = None
+    # fitted inducing inputs when an approximation objective was used
+    # (reference trainable inducing indices, ``Optimizer/Fitter.py:76-89``)
+    inducing: Optional[jnp.ndarray] = None
 
 
 def make_nll(
@@ -141,6 +144,121 @@ def make_kfold_nll(
     return nll_fn
 
 
+APPROXIMATIONS = ("nystroem", "skc_lower", "skc_upper", "ski")
+
+
+def make_approx_nll(
+    kernel,
+    mean: MeanFunction,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    approximation: str,
+    z: jnp.ndarray,
+    config: GPConfig = DEFAULT_CONFIG,
+    optimize_noise: bool = False,
+    fixed_noise: float = 0.0,
+    optimize_inducing: bool = False,
+    skc_iters: int = 10,
+) -> Callable:
+    """Approximation-objective counterpart of :func:`make_nll`:
+    ``nll(uparams) -> scalar`` where the covariance is replaced by the chosen
+    O(nm²) approximation and — with ``optimize_inducing`` — the inducing
+    inputs ``uparams["inducing"]`` are part of the optimisation pytree.
+
+    Mirrors the reference's production fitter, which creates trainable
+    inducing-index variables for Nyström/SKC and optimises them jointly with
+    the hyperparameters (``Optimizer/Fitter.py:76-89``); continuous inducing
+    *locations* are the TPU-native generalisation (smooth gradients instead of
+    gathers through sorted integer indices). SKI keeps its interpolation grid
+    fixed (the reference's SKI grid is a fixed linspace of indices,
+    ``Metrics/StructuredKernelInterpolation.py:16-19``).
+    """
+    from gaussianprocessfundamentals_tpu.linalg.nystroem import nystroem_nll
+    from gaussianprocessfundamentals_tpu.linalg.ski import ski_mll
+    from gaussianprocessfundamentals_tpu.objectives.skc import (
+        skc_lower_bound,
+        skc_upper_bound,
+    )
+
+    if approximation not in APPROXIMATIONS:
+        raise ValueError(
+            f"unknown approximation {approximation!r}; one of {APPROXIMATIONS}"
+        )
+    if optimize_inducing and approximation == "ski":
+        raise ValueError("SKI uses a fixed interpolation grid; "
+                         "optimize_inducing is not supported")
+    kpos, mpos = kernel.positivity(), mean.positivity()
+    z = jnp.asarray(z, x.dtype)
+
+    def nll_fn(u):
+        kp = constrain(kpos, u["kernel"])
+        mp = constrain(mpos, u["mean"])
+        noise = (
+            jnp.exp(u["log_noise"])
+            if optimize_noise
+            else jnp.asarray(fixed_noise, x.dtype)
+        )
+        resid = y - mean.mean(mp, x)
+        zz = u["inducing"] if optimize_inducing else z
+        if approximation == "nystroem":
+            return nystroem_nll(kernel, kp, x, resid, zz, noise, config.jitter)
+        if approximation == "skc_lower":
+            return -skc_lower_bound(kernel, kp, x, resid, zz, noise, config.jitter)
+        if approximation == "skc_upper":
+            return -skc_upper_bound(
+                kernel, kp, x, resid, zz, noise, config.jitter,
+                num_iters=skc_iters,
+            )
+        return -ski_mll(kernel, kp, x, resid, zz, noise, config.jitter)
+
+    return nll_fn
+
+
+def default_inducing(
+    x: jnp.ndarray, m: int, approximation: str = "nystroem"
+) -> jnp.ndarray:
+    """Initial inducing inputs: an even subset of x (reference linspace
+    indices, ``StructuredKernelInterpolation.py:16-19`` /
+    ``Fitter.py:76-89``); for SKI, a sorted equispaced grid over the x-range
+    (required by the ``searchsorted`` interpolation fast path in 1-D)."""
+    n = x.shape[0]
+    m = min(m, n)
+    if approximation == "ski" and x.shape[-1] == 1:
+        lo, hi = x[:, 0].min(), x[:, 0].max()
+        return jnp.linspace(lo, hi, m, dtype=x.dtype)[:, None]
+    import numpy as np
+
+    idx = np.unique(np.linspace(0, n - 1, m).round().astype(int))
+    return x[jnp.asarray(idx)]
+
+
+def bounds_projection(kernel, mean, xrange, n: int) -> Callable:
+    """Build a projection of the unconstrained pytree into the kernel's
+    hyperparameter box bounds (reference bound enforcement,
+    ``Optimizer/Fitter.py:122-152`` — gradient push-back there, an exact
+    per-step projection here; bounds are defined per kernel,
+    ``BaseKernels.py:296-306``). Mean/noise entries are untouched (the
+    reference bounds only kernel hyperparameters)."""
+    lo, hi = kernel.bounds(xrange, n)
+    kpos = kernel.positivity()
+
+    def to_u(b, p):
+        # log-reparameterised (positive) params clip in log space; log(0) and
+        # log(inf) give the correct ∓inf open bounds
+        b = jnp.asarray(b, jnp.result_type(float))
+        return jnp.log(b) if p else b
+
+    lo_u = jax.tree_util.tree_map(to_u, lo, kpos)
+    hi_u = jax.tree_util.tree_map(to_u, hi, kpos)
+
+    from gaussianprocessfundamentals_tpu.fit.transforms import clip_to_bounds
+
+    def project(u):
+        return {**u, "kernel": clip_to_bounds(u["kernel"], lo_u, hi_u)}
+
+    return project
+
+
 def init_uparams(
     kernel,
     mean: MeanFunction,
@@ -165,25 +283,32 @@ def init_uparams(
     return u
 
 
-@partial(jax.jit, static_argnames=("nll_fn", "steps", "lr"))
-def adam_run(nll_fn, u0, steps: int = 300, lr: float = 0.05):
-    """Adam via ``lax.scan``; returns (final uparams, per-step loss history)."""
+@partial(jax.jit, static_argnames=("nll_fn", "steps", "lr", "project_fn"))
+def adam_run(nll_fn, u0, steps: int = 300, lr: float = 0.05, project_fn=None):
+    """Adam via ``lax.scan``; returns (final uparams, per-step loss history).
+    ``project_fn`` (e.g. :func:`bounds_projection`) is applied after every
+    update — projected gradient descent over the box bounds."""
     opt = optax.adam(lr)
+    if project_fn is not None:
+        u0 = project_fn(u0)
 
     def step(carry, _):
         u, st = carry
         loss, g = jax.value_and_grad(nll_fn)(u)
         updates, st = opt.update(g, st, u)
         u = optax.apply_updates(u, updates)
+        if project_fn is not None:
+            u = project_fn(u)
         return (u, st), loss
 
     (u, _), hist = jax.lax.scan(step, (u0, opt.init(u0)), None, length=steps)
     return u, hist
 
 
-@partial(jax.jit, static_argnames=("nll_fn", "max_iters", "tol", "linesearch"))
+@partial(jax.jit, static_argnames=("nll_fn", "max_iters", "tol", "linesearch",
+                                   "project_fn"))
 def lbfgs_run(nll_fn, u0, max_iters: int = 200, tol: float = 1e-8,
-              linesearch: str = "zoom"):
+              linesearch: str = "zoom", project_fn=None):
     """L-BFGS under ``lax.while_loop``; stops on gradient-norm < tol or NaN.
 
     ``linesearch``: "zoom" (strong-Wolfe, default) or "backtracking". The
@@ -207,6 +332,9 @@ def lbfgs_run(nll_fn, u0, max_iters: int = 200, tol: float = 1e-8,
         _, st, gnorm, i = carry
         return jnp.logical_and(i < max_iters, gnorm > tol)
 
+    if project_fn is not None:
+        u0 = project_fn(u0)
+
     def body(carry):
         u, st, _, i = carry
         value, grad = vg(u, state=st)
@@ -214,6 +342,11 @@ def lbfgs_run(nll_fn, u0, max_iters: int = 200, tol: float = 1e-8,
             grad, st, u, value=value, grad=grad, value_fn=nll_fn
         )
         u_new = optax.apply_updates(u, updates)
+        if project_fn is not None:
+            # projection can desync the linesearch's cached (value, grad)
+            # from the projected iterate for one step — acceptable: it only
+            # binds AT the boundary, and the next body recomputes both
+            u_new = project_fn(u_new)
         bad = jnp.any(
             jnp.asarray([jnp.any(~jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(u_new)])
         )
@@ -343,6 +476,10 @@ def fit(
     gram_fn: Optional[Callable] = None,
     xrange=None,
     kfold: int = 0,
+    approximation: Optional[str] = None,
+    n_inducing: Optional[int] = None,
+    optimize_inducing: bool = False,
+    enforce_bounds: bool = False,
 ) -> FitResult:
     """Fit kernel/mean hyperparameters by minimising the NLL.
 
@@ -354,6 +491,15 @@ def fit(
     (requires ``key``), the objective is the mean per-fold NLL over a
     shuffled k-fold split of the training set (reference k-fold fitter,
     ``Fitter.py:27-33,98-104``) via :func:`make_kfold_nll`.
+
+    ``approximation`` ∈ {"nystroem", "skc_lower", "skc_upper", "ski"} swaps
+    the exact NLL for the corresponding O(nm²) objective with
+    ``n_inducing`` inducing inputs (default max(20, nystroem_ratio·n),
+    reference ``AbstractDataInput.py:80-84``); ``optimize_inducing`` puts the
+    inducing locations in the optimisation pytree (reference trainable
+    inducing indices, ``Fitter.py:76-89``). ``enforce_bounds`` projects the
+    kernel hyperparameters into ``kernel.bounds(xrange, n)`` after every
+    optimiser step (reference gradient push-back, ``Fitter.py:122-152``).
     """
     mean = mean if mean is not None else ZeroMean(dim=x.shape[-1])
     if xrange is None:
@@ -363,9 +509,21 @@ def fit(
     # zoom linesearch's nested while_loop crashes the TPU worker at large n
     # (see lbfgs_run); backtracking is the stable large-n choice
     ls = "zoom" if n <= _ZOOM_MAX_N else "backtracking"
+    project = bounds_projection(kernel, mean, xrange, n) if enforce_bounds else None
+    z0 = None
+    if approximation is not None:
+        if kfold > 1:
+            raise ValueError("approximation objectives do not support kfold")
+        m = n_inducing or max(20, int(config.nystroem_ratio * n))
+        z0 = default_inducing(x, m, approximation)
 
     def attempt(cfg: GPConfig) -> FitResult:
-        if kfold > 1:
+        if approximation is not None:
+            nll_fn = make_approx_nll(
+                kernel, mean, x, y, approximation, z0, cfg,
+                optimize_noise, noise, optimize_inducing,
+            )
+        elif kfold > 1:
             if key is None:
                 raise ValueError("fit(kfold>1) requires a PRNG key")
             nll_fn = make_kfold_nll(
@@ -379,21 +537,28 @@ def fit(
         u0 = init_uparams(
             kernel, mean, xrange, n, None, dtype, optimize_noise, max(noise, 1e-6)
         )
+        if optimize_inducing:
+            u0["inducing"] = z0
         if restarts > 0:
             if key is None:
                 raise ValueError("fit(restarts>0) requires a PRNG key")
-            inits = [u0] + [
-                init_uparams(
+            extra = []
+            for i in range(restarts):
+                ui = init_uparams(
                     kernel, mean, xrange, n, jr.fold_in(key, i), dtype,
                     optimize_noise, max(noise, 1e-6),
                 )
-                for i in range(restarts)
-            ]
+                if optimize_inducing:
+                    ui["inducing"] = z0
+                extra.append(ui)
+            inits = [u0] + extra
             u0s = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
             if method == "adam":
-                run1 = lambda u: adam_run(nll_fn, u, steps, lr)
+                run1 = lambda u: adam_run(nll_fn, u, steps, lr, project)
             else:
-                run1 = lambda u: lbfgs_run(nll_fn, u, linesearch=ls)
+                run1 = lambda u: lbfgs_run(
+                    nll_fn, u, linesearch=ls, project_fn=project
+                )
             us, _ = jax.vmap(run1)(u0s)
             losses = jax.vmap(nll_fn)(us)
             safe = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
@@ -402,13 +567,15 @@ def fit(
             hist, rl = None, losses
         else:
             if method == "adam":
-                u, hist = adam_run(nll_fn, u0, steps, lr)
+                u, hist = adam_run(nll_fn, u0, steps, lr, project)
             elif method in ("scipy-bfgs", "scipy-cg"):
                 u, hist = scipy_run(
                     nll_fn, u0, "BFGS" if method == "scipy-bfgs" else "CG"
                 )
+                if project is not None:
+                    u = project(u)  # scipy is unconstrained; clip at readout
             else:
-                u, hist = lbfgs_run(nll_fn, u0, linesearch=ls)
+                u, hist = lbfgs_run(nll_fn, u0, linesearch=ls, project_fn=project)
             rl = None
         nll_pre = float(nll_fn(u0))
         nll_post = float(nll_fn(u))
@@ -417,7 +584,8 @@ def fit(
         fitted_noise = (
             jnp.exp(u["log_noise"]) if optimize_noise else jnp.asarray(noise, dtype)
         )
-        return FitResult(kp, mp, fitted_noise, nll_pre, nll_post, hist, rl)
+        return FitResult(kp, mp, fitted_noise, nll_pre, nll_post, hist, rl,
+                         inducing=u.get("inducing", z0))
 
     cfg = config
     for _ in range(config.max_jitter_retries):

@@ -68,3 +68,28 @@ def cg_solve(
 
 def cg_solve_dense(A: jnp.ndarray, b: jnp.ndarray, **kw) -> jnp.ndarray:
     return cg_solve(partial(jnp.matmul, A), b, **kw)
+
+
+def cg_solve_implicit(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    tol: float = 1e-2,
+    max_iters: Optional[int] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Reverse-differentiable CG solve via ``lax.custom_linear_solve``.
+
+    The forward pass is :func:`cg_solve` (early-exit while_loop — not
+    reverse-differentiable itself); gradients come from the implicit function
+    theorem: the VJP solves the same SPD system with the same solver
+    (``symmetric=True``) instead of unrolling iterations. This is what makes
+    CG-based objectives (SKI MLL) usable inside ``fit()``.
+    """
+    return jax.lax.custom_linear_solve(
+        matvec,
+        b,
+        solve=lambda mv, rhs: cg_solve(
+            mv, rhs, tol=tol, max_iters=max_iters, precond=precond
+        ),
+        symmetric=True,
+    )

@@ -18,7 +18,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI, add_diag
+from gaussianprocessfundamentals_tpu.linalg.cholesky import (
+    LOG_2PI,
+    add_diag,
+    effective_jitter,
+)
 
 
 class NystroemState(NamedTuple):
@@ -35,7 +39,9 @@ def nystroem_factor(
     """Factor the rank-m approximation defined by inducing inputs z [m, d]."""
     K_nm = kernel.gram(params, x, z)
     K_mm = kernel.gram(params, z, z)
-    L_mm = jnp.linalg.cholesky(add_diag(K_mm, jitter))
+    # dtype-aware jitter floor: optimised inducing locations drift close
+    # together mid-fit, and an f32 K_mm then needs more than 1e-8 to factor
+    L_mm = jnp.linalg.cholesky(add_diag(K_mm, effective_jitter(K_mm, jitter)))
     # A = K_nm L_mm^{-T}: K̂ = A Aᵀ
     A = solve_triangular(L_mm, K_nm.T, lower=True).T
     noise = jnp.asarray(noise, x.dtype)

@@ -26,19 +26,47 @@ class SKIState(NamedTuple):
 
 
 def ski_interp(x: jnp.ndarray, grid: jnp.ndarray):
-    """Two-nearest inverse-distance interpolation of x[:, 0] onto a sorted 1-D
-    grid (reference weights ``StructuredKernelInterpolation.py:24-49``)."""
-    g = grid[:, 0]
-    m = g.shape[0]
-    x0 = x[:, 0]
-    hi = jnp.clip(jnp.searchsorted(g, x0), 1, m - 1)
-    lo = hi - 1
-    d_lo = jnp.abs(x0 - g[lo])
-    d_hi = jnp.abs(g[hi] - x0)
-    total = jnp.where(d_lo + d_hi > 0, d_lo + d_hi, 1.0)
-    w_lo = jnp.where(d_lo + d_hi > 0, d_hi / total, 0.5)
-    idx = jnp.stack([lo, hi], axis=-1)
-    w = jnp.stack([w_lo, 1.0 - w_lo], axis=-1)
+    """Two-nearest inverse-distance interpolation of x onto the inducing set.
+
+    d == 1 (sorted grid): neighbours via ``searchsorted`` — O(n log m), no
+    distance matrix. d > 1: the reference's generic formulation
+    (``StructuredKernelInterpolation.py:32-49``) — full point-to-inducing
+    Euclidean distances, two nearest per row, weights d₂/(d₁+d₂) and
+    d₁/(d₁+d₂). Both return ([n, 2] indices, [n, 2] weights summing to 1).
+    """
+    if x.shape[-1] == 1:
+        g = grid[:, 0]
+        m = g.shape[0]
+        x0 = x[:, 0]
+        hi = jnp.clip(jnp.searchsorted(g, x0), 1, m - 1)
+        lo = hi - 1
+        d_lo = jnp.abs(x0 - g[lo])
+        d_hi = jnp.abs(g[hi] - x0)
+        total = jnp.where(d_lo + d_hi > 0, d_lo + d_hi, 1.0)
+        w_lo = jnp.where(d_lo + d_hi > 0, d_hi / total, 0.5)
+        idx = jnp.stack([lo, hi], axis=-1)
+        w = jnp.stack([w_lo, 1.0 - w_lo], axis=-1)
+        return idx, w
+    return ski_interp_knn(x, grid)
+
+
+def ski_interp_knn(x: jnp.ndarray, grid: jnp.ndarray):
+    """Generic-dimension two-nearest-neighbour interpolation weights
+    (reference ``get_weight_matrix``, ``StructuredKernelInterpolation.py:32-49``:
+    dense [n, m] Euclidean distances, weight_1 = 1 − d₁/(d₁+d₂)). The dense
+    distance matrix is one MXU-shaped ‖a‖²−2ab+‖b‖² pass; top-2 via
+    ``lax.top_k`` on the negated distances."""
+    import jax
+
+    from gaussianprocessfundamentals_tpu.ops.distances import sq_euclidean
+
+    d2 = sq_euclidean(x, grid)  # [n, m]
+    neg_top, idx = jax.lax.top_k(-d2, 2)  # two smallest distances
+    d12 = jnp.sqrt(jnp.maximum(-neg_top, 0.0))  # [n, 2] (d1 <= d2)
+    total = d12[:, 0] + d12[:, 1]
+    safe = jnp.where(total > 0, total, 1.0)
+    w1 = jnp.where(total > 0, d12[:, 1] / safe, 0.5)
+    w = jnp.stack([w1, 1.0 - w1], axis=-1)
     return idx, w
 
 
@@ -108,7 +136,7 @@ def ski_mll_toeplitz(kernel, params, x, y, grid, noise, jitter: float,
     """SKI log marginal likelihood with the Toeplitz fast matvec (equispaced
     grid required) and circulant-eigenvalue log-det (scaled by n/m as in the
     reference's eigenvalue approximation)."""
-    from gaussianprocessfundamentals_tpu.linalg.cg import cg_solve
+    from gaussianprocessfundamentals_tpu.linalg.cg import cg_solve_implicit
     from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
 
     n = x.shape[0]
@@ -116,7 +144,7 @@ def ski_mll_toeplitz(kernel, params, x, y, grid, noise, jitter: float,
     idx, w = ski_interp(x, grid)
     first_col = kernel.gram(params, grid, grid[:1])[:, 0]  # [m]
     sigma2 = jnp.asarray(noise, x.dtype) + jitter
-    alpha = cg_solve(
+    alpha = cg_solve_implicit(
         lambda v: ski_matvec_toeplitz(idx, w, first_col, sigma2, v),
         y, tol=cg_tol, max_iters=4 * n,
     )
@@ -136,14 +164,14 @@ def ski_mll(kernel, params, x, y, grid, noise, jitter: float,
     """SKI log marginal likelihood: CG solve against the structured matvec +
     the eigenvalue-scaled log-det (matches the reference's SKI strategy wiring,
     ``Metrics/Metrics.py:95-107``)."""
-    from gaussianprocessfundamentals_tpu.linalg.cg import cg_solve
+    from gaussianprocessfundamentals_tpu.linalg.cg import cg_solve_implicit
     from gaussianprocessfundamentals_tpu.linalg.cholesky import LOG_2PI
 
     n = x.shape[0]
     state = ski_factor(kernel, params, x, grid)
     sigma2 = jnp.asarray(noise, x.dtype) + jitter
-    alpha = cg_solve(lambda v: ski_matvec(state, sigma2, v), y, tol=cg_tol,
-                     max_iters=4 * n)
+    alpha = cg_solve_implicit(lambda v: ski_matvec(state, sigma2, v), y,
+                              tol=cg_tol, max_iters=4 * n)
     return (
         -0.5 * jnp.sum(y * alpha)
         - 0.5 * ski_logdet_approx(state, n, sigma2)

@@ -126,6 +126,11 @@ class GaussianProcess:
     noise: Any = None
     x_train: Any = None
     y_train: Any = None
+    # set when fit() used an approximation objective: fitted inducing inputs
+    # and the approximation name — posterior() then routes to the O(nm²)
+    # projected-process predictive instead of the dense Cholesky
+    inducing: Any = None
+    approximation: Optional[str] = None
 
     def __post_init__(self):
         if self.mean is None:
@@ -161,6 +166,8 @@ class GaussianProcess:
         )
         self.kernel_params, self.mean_params = res.kernel_params, res.mean_params
         self.noise = res.noise
+        self.approximation = kwargs.get("approximation")
+        self.inducing = res.inducing
         return res
 
     def _ensure_params(self):
@@ -183,6 +190,21 @@ class GaussianProcess:
 
     def posterior(self, x_test, full_cov: bool = False):
         self._ensure_params()
+        if self.approximation is not None and not full_cov:
+            # projected-process predictive through the fitted inducing set —
+            # O(nm²) like the training objective (full_cov requests fall back
+            # to the dense exact posterior below)
+            from gaussianprocessfundamentals_tpu.linalg.nystroem import (
+                nystroem_posterior,
+            )
+
+            resid = self.y_train - self.mean.mean(self.mean_params, self.x_train)
+            mu, var = nystroem_posterior(
+                self.kernel, self.kernel_params, self.x_train, resid,
+                self.inducing, x_test, self.noise, self.config.jitter,
+            )
+            mean_mu = self.mean.mean(self.mean_params, x_test)
+            return Posterior(mean_mu + mu, var, jnp.sqrt(var), mean_mu, mu)
         return posterior(
             self.kernel, self.kernel_params, self.x_train, self.y_train, x_test,
             self.noise, self.config.jitter, self.mean, self.mean_params,
