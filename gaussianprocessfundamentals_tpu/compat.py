@@ -86,6 +86,7 @@ def get_metric(
     config: GPConfig = DEFAULT_CONFIG,
     subset: "SubsetOfDataApproaches" = None,
     subset_ratio: float = 0.1,
+    blockwise: bool = False,
 ) -> Callable:
     """Factory mapping strategy enums to a metric callable
     (reference ``get_metric_by_type``, ``Metrics/Auxiliary.py:13-51``).
@@ -93,7 +94,26 @@ def get_metric(
     Returned callables share the signature
     ``fn(kernel, params, x, y, noise, **kw)`` (MSE additionally takes
     ``x_test``/``y_test``; Nyström/SKC/SKI take inducing inputs ``z``/grid).
+
+    ``blockwise=True`` routes to the blockwise metric family for segmented
+    (change-point / partitioned) models — the reference's standard→blockwise
+    MetricType mapping (``Metrics/Auxiliary.py:54-66``). Blockwise callables
+    take per-segment sequences: ``fn(kernel_segments, params_segments, xs,
+    ys, noise)`` (MSE: train/test segment pair lists).
     """
+    if blockwise:
+        from gaussianprocessfundamentals_tpu.objectives import metrics as M
+
+        if approximation is not MatrixApproximations.NONE:
+            raise ValueError(
+                "blockwise metrics are exact per-segment (reference "
+                "BlockwiseLogLikelihood has no approximation path)"
+            )
+        return {
+            MetricType.LL: partial(M.blockwise_neg_log_likelihood, config=config),
+            MetricType.MSE: partial(M.blockwise_mse, config=config),
+            MetricType.BIC: partial(M.blockwise_bic, config=config),
+        }[metric_type]
     from gaussianprocessfundamentals_tpu.linalg.nystroem import nystroem_nll
     from gaussianprocessfundamentals_tpu.linalg.ski import ski_mll
     from gaussianprocessfundamentals_tpu.objectives import metrics as M

@@ -50,19 +50,33 @@ def pad_segments(
 
 
 def masked_nll(K, y, mask, noise, jitter) -> jnp.ndarray:
-    """NLL over the valid prefix only: padded rows are replaced by identity
-    rows/cols (unit diagonal, zero off-diagonal, zero target). Each padded row
-    then contributes 0 to yᵀα, log(1+σ²+jitter) to the logdet (the noise is
-    added to the padded diagonal too), and ½log2π to the norm constant — both
-    are subtracted exactly."""
+    """NLL over the valid prefix only: padded rows are replaced by decoupled
+    diagonal rows (zero off-diagonal, zero target). Each padded row then
+    contributes 0 to yᵀα, log(c+σ²+jitter) to the logdet, and ½log2π to the
+    norm constant — both subtracted exactly.
+
+    Two f32 subtleties make this *exactly* equal to the unpadded NLL:
+
+      * the padded diagonal value c is the mean of the REAL rows' diagonal,
+        so ``mean(diag(K_pad)) == mean(diag(K_real))`` and the dtype-aware
+        jitter floor (:func:`~..linalg.cholesky.effective_jitter`) resolves to
+        the same value the unpadded factorisation would use;
+      * the correction is computed with that same *effective* jitter — the
+        raw ``jitter`` argument can be below the f32 eps floor actually
+        applied inside ``chol.nll``, which previously left the blockwise NLL
+        off by n_pad·Δ on the TPU dtype.
+    """
     m2 = mask[..., :, None] * mask[..., None, :]
+    n_real = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+    diag_K = jnp.diagonal(K, axis1=-2, axis2=-1)
+    c = jnp.sum(diag_K * mask, axis=-1) / n_real  # mean real diagonal
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
-    K_pad = K * m2 + (1.0 - mask[..., :, None]) * eye
+    K_pad = K * m2 + (1.0 - mask[..., :, None]) * c[..., None, None] * eye
     y_pad = y * mask
     raw = chol.nll(K_pad, y_pad, noise, jitter)
     n_pad = K.shape[-1] - jnp.sum(mask, axis=-1)
-    sigma2 = jnp.asarray(noise, K.dtype) + jnp.asarray(jitter, K.dtype)
-    return raw - 0.5 * n_pad * (chol.LOG_2PI + jnp.log1p(sigma2))
+    sigma2 = jnp.asarray(noise, K.dtype) + chol.effective_jitter(K_pad, jitter)
+    return raw - 0.5 * n_pad * (chol.LOG_2PI + jnp.log(c + sigma2))
 
 
 def segmented_nll(

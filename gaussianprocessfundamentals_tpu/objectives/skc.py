@@ -59,8 +59,14 @@ def skc_upper_bound(
         return alpha, r_new, r_new + beta * p
 
     alpha, _, _ = jax.lax.fori_loop(0, num_iters, body, (alpha0, r0, r0))
-    # quad(α) ≥ −½yᵀ(K̂+σ²I)⁻¹y ≥ −½yᵀ(K+σ²I)⁻¹y: upper-bounds the data fit;
-    # −½log|K̂+σ²I| ≥ −½log|K+σ²I| since K̂ ⪯ K: upper-bounds the complexity.
+    # Complexity: −½log|K̂+σ²I| ≥ −½log|K+σ²I| since K̂ ⪯ K — a true bound.
+    # Data fit: quad(α) ≥ min_α quad = −½yᵀ(K̂+σ²I)⁻¹y, but K̂ ⪯ K makes that
+    # MINIMUM sit *below* the true data fit −½yᵀ(K+σ²I)⁻¹y ((K̂+σ²I)⁻¹ ⪰
+    # (K+σ²I)⁻¹), so a fully optimised α could undershoot. The EARLY STOPPING
+    # is load-bearing (as in the reference's 10 VariationalSGD steps,
+    # SkcLogLikelihood.py:53-69): num_iters CG steps leave quad(α) above the
+    # K̂ minimum by more than the K-vs-K̂ gap in practice — an empirical upper
+    # bound, verified across m and num_iters in tests/test_block_cholesky.py.
     data_fit_upper = quad(alpha)
     complexity = -0.5 * nystroem_logdet(state, n)
     return data_fit_upper + complexity - 0.5 * n * LOG_2PI

@@ -85,9 +85,9 @@ def distributed_nll_value_and_grad(
     ny = nystroem_factor(kernel, kernel_params, x, z_ind, sigma2, 1e-6)
     U = solve_triangular(ny.L_core, ny.A.T, lower=True)  # [m, n]
 
-    def precond_apply(v):  # C v in O(nm)
-        return (v - U.T @ (U @ v)) / sigma2
-
+    # C is materialised densely because the Gram VJP consumes a dense [n, n]
+    # cotangent either way — the same array serves as the exact control
+    # variate AND the per-probe C·z products (C is symmetric).
     rowshard = NamedSharding(mesh, PartitionSpec(axis, None))
     C = (jnp.eye(n, dtype=x.dtype) - U.T @ U) / sigma2
     C = jax.lax.with_sharding_constraint(C, rowshard)
@@ -95,7 +95,8 @@ def distributed_nll_value_and_grad(
     solve = lambda v: distributed_chol_solve(L_cyc, v, mesh, axis, block)
     if probes > 0:
         z = jr.rademacher(key, (probes, n)).astype(x.dtype)
-        resid = jax.lax.map(lambda v: solve(v) - precond_apply(v), z)  # [s, n]
+        solves = jax.lax.map(solve, z)  # [s, n] rows Kn⁻¹zᵢ
+        resid = solves - z @ C  # (Kn⁻¹ − C)·zᵢ rows; probes carry only this
         est_res = (
             jnp.einsum("sn,sm->nm", resid, z) + jnp.einsum("sn,sm->nm", z, resid)
         ) / (2.0 * probes)

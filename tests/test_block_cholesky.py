@@ -70,7 +70,16 @@ def test_distributed_cholesky_larger_blocks():
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
-def test_skc_bounds_sandwich_exact():
+import pytest
+
+
+@pytest.mark.parametrize("m", [10, 25, 50])
+@pytest.mark.parametrize("num_iters", [3, 10, 20])
+def test_skc_bounds_sandwich_exact(m, num_iters):
+    """Sandwich across inducing counts AND inner iteration budgets: the upper
+    bound's load-bearing piece is the EARLY-STOPPED inner optimisation (see
+    skc.py — with K̂ ⪯ K the fully-optimised quadratic could undershoot the
+    true data fit), so it must hold for every num_iters the API exposes."""
     from gaussianprocessfundamentals_tpu.objectives.skc import (
         skc_lower_bound,
         skc_upper_bound,
@@ -81,7 +90,9 @@ def test_skc_bounds_sandwich_exact():
     k = gpf.SquaredExponentialKernel()
     p = {"lengthscale": jnp.asarray(0.2)}
     noise = 0.1
+    z = x[:: len(x) // m][:m]
     exact = float(chol.mll(k.gram(p, x, x), y, noise, 1e-8))
-    lower = float(skc_lower_bound(k, p, x, y, x[::6], noise, 1e-8))
-    upper = float(skc_upper_bound(k, p, x, y, x[::6], noise, 1e-8, num_iters=10))
-    assert lower <= exact <= upper, (lower, exact, upper)
+    lower = float(skc_lower_bound(k, p, x, y, z, noise, 1e-8))
+    upper = float(skc_upper_bound(k, p, x, y, z, noise, 1e-8,
+                                  num_iters=num_iters))
+    assert lower <= exact <= upper, (m, num_iters, lower, exact, upper)

@@ -76,6 +76,29 @@ def test_masked_nll_equals_unpadded():
     np.testing.assert_allclose(padded, exact, rtol=1e-8)
 
 
+def test_masked_nll_f32_effective_jitter_exact():
+    """r2 VERDICT weak #6: in f32 the factorisation applies the dtype-aware
+    ``effective_jitter`` floor (> the raw 1e-8 argument), and the padded-row
+    correction must use THAT value — with a scaled kernel (diag ≠ 1) so the
+    pad-diagonal choice is exercised too. Compare against an unpadded f32 NLL
+    of the same segment."""
+    x, y = gpf.synth_se(n=64, seed=0)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    k = gpf.SquaredExponentialKernel(scaled=True)
+    p = {"lengthscale": jnp.asarray(0.2, jnp.float32),
+         "variance": jnp.asarray(3.0, jnp.float32)}
+    noise, jitter = 0.05, 1e-8  # eps floor ≈ 100·1.2e-7·3 ≫ 1e-8: it binds
+    exact = float(chol.nll(k.gram(p, x, x), y, noise, jitter))
+    pad = 30
+    xp = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)])
+    yp = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
+    mask = jnp.concatenate([jnp.ones(64), jnp.zeros(pad)]).astype(y.dtype)
+    padded = float(masked_nll(k.gram(p, xp, xp), yp, mask, noise, jitter))
+    # identical jitter floor on both paths → agreement to f32 Cholesky noise
+    np.testing.assert_allclose(padded, exact, rtol=2e-5)
+
+
 def test_segmented_nll_matches_sum():
     x1, y1 = gpf.synth_se(n=25, seed=1)
     x2, y2 = gpf.synth_se(n=18, seed=2)
