@@ -48,6 +48,11 @@ def main() -> None:
     import jax.random as jr
 
     import gaussianprocessfundamentals_tpu as gpf
+    from gaussianprocessfundamentals_tpu.utils.profiling import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     from gaussianprocessfundamentals_tpu.models.iterative import (
         iterative_nll_and_grad_device,
     )

@@ -82,16 +82,32 @@ def bench_iterative_fit(n, steps, dtype):
     x = jnp.asarray(np.sort(rng.uniform(0, 1, (n, 1)), 0), dtype)
     y = jnp.asarray(np.sin(8 * np.asarray(x)[:, 0])
                     + 0.1 * rng.standard_normal(n), dtype)
+    # crash-safe large-N configuration (BENCHMARKS.md row 3' history): fixed
+    # 50-iteration mBCG (early_exit=False — a while_loop nested in the big
+    # scan program kills the TPU worker at this size) and the step loop cut
+    # into scan_chunk-sized device programs
     t0 = time.perf_counter()
     kp, noise, hist = fit_iterative(
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(0),
         steps=steps, lr=0.1, num_probes=8, max_iters=50, block=4096,
-        precond_m=256, tol=3e-3,
+        precond_m=256, tol=3e-3, early_exit=n <= 20_000,
+        scan_chunk=10 if n > 20_000 else 0,
     )
     hist_h = jax.device_get(hist)
     dt = time.perf_counter() - t0
+    # steady-state: re-run one already-compiled chunk and scale
+    t1 = time.perf_counter()
+    _, _, hist2 = fit_iterative(
+        gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(1),
+        steps=min(10, steps), lr=0.1, num_probes=8, max_iters=50, block=4096,
+        precond_m=256, tol=3e-3, early_exit=n <= 20_000,
+        scan_chunk=10 if n > 20_000 else 0,
+    )
+    jax.device_get(hist2)
+    dt_steady = (time.perf_counter() - t1) / min(10, steps)
     return {"config": "exact_fit_iterative", "n": n, "steps": steps,
             "s": round(dt, 2), "s_per_step": round(dt / steps, 3),
+            "s_per_step_steady": round(dt_steady, 3),
             "nll_first": round(float(hist_h[0]), 1),
             "nll_last": round(float(hist_h[-1]), 1)}
 
@@ -213,10 +229,16 @@ def main():
                     help="comma-separated config indices to run (0-6)")
     args = ap.parse_args()
 
+    from gaussianprocessfundamentals_tpu.utils.profiling import (
+        enable_persistent_cache,
+    )
+
+    cached = enable_persistent_cache()
     q = args.quick
     dtype = jnp.float32
     print(json.dumps({"backend": jax.default_backend(),
-                      "devices": len(jax.devices())}), flush=True)
+                      "devices": len(jax.devices()),
+                      "compile_cache": cached}), flush=True)
     thunks = [
         lambda: bench_exact_fit_step(1_000 if q else 10_000, dtype),
         lambda: bench_full_fit(1_000 if q else 10_000, dtype),

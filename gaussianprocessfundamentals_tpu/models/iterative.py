@@ -338,6 +338,25 @@ def fit_iterative(
         }
         return nll, g_u, resid
 
+    def guard_update(u, st, nll, g_u):
+        """Skip non-finite steps: when the stochastic gradient (or the NLL)
+        overflows — ill-conditioned K after a bad hyperparameter move, PCG
+        residual blow-up — freeze the iterate instead of poisoning the rest
+        of the scan (measured r3: N=100k at lr=0.1 NaN'd at step 16 without
+        this). Same failure-detection stance as ``fit.lbfgs_run``."""
+        finite = [jnp.all(jnp.isfinite(l))
+                  for l in jax.tree_util.tree_leaves(g_u) + [nll]]
+        bad = ~jnp.all(jnp.asarray(finite))
+        g_u = jax.tree_util.tree_map(
+            lambda g: jnp.where(bad, jnp.zeros_like(g), g), g_u
+        )
+        updates, st = opt.update(g_u, st, u)
+        u_new = optax.apply_updates(u, updates)
+        u_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(bad, a, b), u, u_new
+        )
+        return u_new, st
+
     if callback is None:
         def scan_step(carry, k):
             u, st = carry
@@ -348,8 +367,8 @@ def fit_iterative(
                     block, tol, precond_m, mesh, mesh_axis, early_exit,
                 ),
             )
-            updates, st = opt.update(g_u, st, u)
-            return (optax.apply_updates(u, updates), st), nll
+            u, st = guard_update(u, st, nll, g_u)
+            return (u, st), nll
 
         run = jax.jit(
             lambda u0, st0, ks: jax.lax.scan(scan_step, (u0, st0), ks)
@@ -375,8 +394,7 @@ def fit_iterative(
                     mesh=mesh, mesh_axis=mesh_axis, early_exit=early_exit,
                 ),
             )
-            updates, opt_state = opt.update(g_u, opt_state, u)
-            u = optax.apply_updates(u, updates)
+            u, opt_state = guard_update(u, opt_state, nll, g_u)
             hist.append(float(nll))
             callback(i, float(nll))
         hist = jnp.asarray(hist)

@@ -67,3 +67,21 @@ def enable_debug_checks(nans: bool = True) -> None:
     """Debug toggles (SURVEY.md §5.2): NaN checking across all jitted code."""
     if nans:
         jax.config.update("jax_debug_nans", True)
+
+
+def enable_persistent_cache(path: str = "/root/repo/.jax_cache") -> bool:
+    """Persistent XLA compilation cache: the dominant user-visible cost of a
+    fit on a tunnel-attached chip is the remote compile (minutes for large
+    programs, BENCHMARKS.md), and it is identical across runs of the same
+    program. Caching serialized executables on disk makes every run after the
+    first start in seconds. Returns False if the backend rejects it (older
+    plugins) — callers proceed uncached."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything, however fast it compiled: through the tunnel even
+        # "fast" compiles carry seconds of round-trip latency
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:  # noqa: BLE001 — unsupported flag names on old jax
+        return False
