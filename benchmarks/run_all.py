@@ -63,8 +63,14 @@ def bench_full_fit(n, dtype):
     res = gpf.fit(gpf.SquaredExponentialKernel(scaled=True), x, y,
                   method="lbfgs", optimize_noise=True)
     dt = time.perf_counter() - t0
+    # warm: identical program again — compile served from the persistent
+    # cache; this is what a user's SECOND fit of any same-shaped model costs
+    t1 = time.perf_counter()
+    res2 = gpf.fit(gpf.SquaredExponentialKernel(scaled=True), x, y,
+                   method="lbfgs", optimize_noise=True)
+    dt_warm = time.perf_counter() - t1
     return {"config": "exact_fit_lbfgs", "n": n, "s": round(dt, 2),
-            "nll_post": round(res.nll_post, 1)}
+            "s_warm": round(dt_warm, 2), "nll_post": round(res.nll_post, 1)}
 
 
 def bench_iterative_fit(n, steps, dtype):
@@ -86,12 +92,15 @@ def bench_iterative_fit(n, steps, dtype):
     # 50-iteration mBCG (early_exit=False — a while_loop nested in the big
     # scan program kills the TPU worker at this size) and the step loop cut
     # into scan_chunk-sized device programs
+    # lr 0.03: at this scale lr=0.1 oscillates into the ill-conditioned
+    # region (measured r3); resid_guard freezes updates the moment the PCG
+    # residual says the solves are unreliable (SLQ-bias runaway protection)
     t0 = time.perf_counter()
     kp, noise, hist = fit_iterative(
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(0),
-        steps=steps, lr=0.1, num_probes=8, max_iters=50, block=4096,
+        steps=steps, lr=0.03, num_probes=8, max_iters=50, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
-        scan_chunk=10 if n > 20_000 else 0,
+        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.1,
     )
     hist_h = jax.device_get(hist)
     dt = time.perf_counter() - t0
@@ -99,9 +108,9 @@ def bench_iterative_fit(n, steps, dtype):
     t1 = time.perf_counter()
     _, _, hist2 = fit_iterative(
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(1),
-        steps=min(10, steps), lr=0.1, num_probes=8, max_iters=50, block=4096,
+        steps=min(10, steps), lr=0.03, num_probes=8, max_iters=50, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
-        scan_chunk=10 if n > 20_000 else 0,
+        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.1,
     )
     jax.device_get(hist2)
     dt_steady = (time.perf_counter() - t1) / min(10, steps)
@@ -109,6 +118,7 @@ def bench_iterative_fit(n, steps, dtype):
             "s": round(dt, 2), "s_per_step": round(dt / steps, 3),
             "s_per_step_steady": round(dt_steady, 3),
             "nll_first": round(float(hist_h[0]), 1),
+            "nll_best": round(float(np.nanmin(hist_h)), 1),
             "nll_last": round(float(hist_h[-1]), 1)}
 
 
@@ -126,11 +136,14 @@ def bench_mauna_loa(dtype):
     t0 = time.perf_counter()
     res = gp.fit(x, y, optimize_noise=True)
     dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    gp.fit(x, y, optimize_noise=True)  # warm: persistent-cache compile
+    dt_warm = time.perf_counter() - t1
     mu, _, _ = gp.predict(jnp.asarray(di.x_test, dtype))
     mse = float(np.mean((np.asarray(mu) - np.asarray(di.y_test)) ** 2))
     return {"config": "mauna_loa_composite", "n": int(di.n_train),
-            "s": round(dt, 2), "nll_post": round(res.nll_post, 1),
-            "test_mse": round(mse, 6)}
+            "s": round(dt, 2), "s_warm": round(dt_warm, 2),
+            "nll_post": round(res.nll_post, 1), "test_mse": round(mse, 6)}
 
 
 def bench_nuts(n, chains, dtype):
@@ -159,10 +172,18 @@ def bench_nuts(n, chains, dtype):
     t0 = time.perf_counter()
     res = gpf.nuts_chains(logprob, q0s, jr.split(jr.PRNGKey(0), chains),
                           num_samples=num, num_warmup=100, max_depth=6)
-    jax.block_until_ready(res.samples)
+    jax.device_get(res.accept_stat)  # honest sync through the async tunnel
     dt = time.perf_counter() - t0
+    # steady state: identical program, compile from cache (r2 VERDICT weak
+    # #7 — the cold number buries sampling throughput under remote compile)
+    t1 = time.perf_counter()
+    res2 = gpf.nuts_chains(logprob, q0s, jr.split(jr.PRNGKey(1), chains),
+                           num_samples=num, num_warmup=100, max_depth=6)
+    jax.device_get(res2.accept_stat)
+    dt_steady = time.perf_counter() - t1
     return {"config": "nuts_matern52", "n": n, "chains": chains,
             "samples_per_s": round(chains * num / dt, 1),
+            "samples_per_s_steady": round(chains * num / dt_steady, 1),
             "accept": round(float(res.accept_stat.mean()), 2)}
 
 

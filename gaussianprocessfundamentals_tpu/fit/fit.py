@@ -232,7 +232,7 @@ def default_inducing(
     return x[jnp.asarray(idx)]
 
 
-def bounds_projection(kernel, mean, xrange, n: int) -> Callable:
+def bounds_projection(kernel, xrange, n: int) -> Callable:
     """Build a projection of the unconstrained pytree into the kernel's
     hyperparameter box bounds (reference bound enforcement,
     ``Optimizer/Fitter.py:122-152`` — gradient push-back there, an exact
@@ -509,7 +509,7 @@ def fit(
     # zoom linesearch's nested while_loop crashes the TPU worker at large n
     # (see lbfgs_run); backtracking is the stable large-n choice
     ls = "zoom" if n <= _ZOOM_MAX_N else "backtracking"
-    project = bounds_projection(kernel, mean, xrange, n) if enforce_bounds else None
+    project = bounds_projection(kernel, xrange, n) if enforce_bounds else None
     z0 = None
     if approximation is not None:
         if kfold > 1:

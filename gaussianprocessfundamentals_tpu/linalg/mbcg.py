@@ -140,10 +140,14 @@ def lanczos_tridiag_from_cg(
     )
     diag = 1.0 / safe_a + prev_ba  # [t, r]
     off = jnp.sqrt(jnp.maximum(betas, 0.0)) / safe_a  # [t, r]
-    # columns that converged early have alpha=0 tail: give them identity rows
-    dead = alphas == 0
-    diag = jnp.where(dead, 1.0, diag)
-    off = jnp.where(dead, 0.0, off)
+    # columns that converged early have alpha=0 tail: give them identity rows.
+    # Non-finite coefficients (f32 overflow on catastrophically conditioned K
+    # — measured r3 at N=100k once ℓ grows) get the same treatment: the SLQ
+    # estimate is then merely biased instead of NaN-poisoning the whole step.
+    dead = jnp.logical_or(alphas == 0, ~jnp.isfinite(alphas))
+    dead = jnp.logical_or(dead, ~jnp.isfinite(betas))
+    diag = jnp.where(jnp.logical_or(dead, ~jnp.isfinite(diag)), 1.0, diag)
+    off = jnp.where(jnp.logical_or(dead, ~jnp.isfinite(off)), 0.0, off)
     return diag, off[:-1]
 
 
@@ -282,9 +286,9 @@ def slq_logdet_host(alphas, betas, z_weights, n: int) -> float:
     prev_ba = np.concatenate([np.zeros_like(a[:1]), b[:-1] / safe_a[:-1]], 0)
     diag = 1.0 / safe_a + prev_ba
     off = np.sqrt(np.maximum(b, 0.0)) / safe_a
-    dead = a == 0
-    diag = np.where(dead, 1.0, diag)
-    off = np.where(dead, 0.0, off)[:-1]
+    dead = (a == 0) | ~np.isfinite(a) | ~np.isfinite(b)
+    diag = np.where(dead | ~np.isfinite(diag), 1.0, diag)
+    off = np.where(dead | ~np.isfinite(off), 0.0, off)[:-1]
     vals = []
     for i in range(a.shape[1]):
         T = np.diag(diag[:, i]) + np.diag(off[:, i], 1) + np.diag(off[:, i], -1)

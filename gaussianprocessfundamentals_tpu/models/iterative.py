@@ -293,6 +293,7 @@ def fit_iterative(
     precond_m: int = 128,
     early_exit: bool = True,
     scan_chunk: int = 0,
+    resid_guard: float | None = None,
 ):
     """Adam over the iterative NLL — exact-GP fitting at N=100k+ scale.
     With ``mesh``, K row panels shard over ``mesh_axis`` (multi-chip).
@@ -338,15 +339,24 @@ def fit_iterative(
         }
         return nll, g_u, resid
 
-    def guard_update(u, st, nll, g_u):
-        """Skip non-finite steps: when the stochastic gradient (or the NLL)
-        overflows — ill-conditioned K after a bad hyperparameter move, PCG
-        residual blow-up — freeze the iterate instead of poisoning the rest
-        of the scan (measured r3: N=100k at lr=0.1 NaN'd at step 16 without
-        this). Same failure-detection stance as ``fit.lbfgs_run``."""
+    def guard_update(u, st, nll, g_u, resid):
+        """Skip unreliable steps: (a) non-finite gradient/NLL — overflow on an
+        ill-conditioned K after a bad hyperparameter move; (b) with
+        ``resid_guard``, PCG residuals above the threshold — the solves (and
+        hence the SLQ logdet and the gradient) are no longer trustworthy, and
+        the known SLQ failure mode is that a biased (underestimated) logdet
+        lets the optimiser run INTO the ill-conditioned region (measured r3:
+        N=100k plateaus ~33 steps, then ℓ grows, estimates degrade over ~10
+        steps and NaN). Freezing on the residual signal stops the runaway at
+        its first symptom. Same failure-detection stance as ``fit.lbfgs_run``.
+        """
         finite = [jnp.all(jnp.isfinite(l))
                   for l in jax.tree_util.tree_leaves(g_u) + [nll]]
         bad = ~jnp.all(jnp.asarray(finite))
+        if resid_guard is not None:
+            bad = jnp.logical_or(
+                bad, ~(jnp.max(resid) <= resid_guard)  # catches NaN resid too
+            )
         g_u = jax.tree_util.tree_map(
             lambda g: jnp.where(bad, jnp.zeros_like(g), g), g_u
         )
@@ -367,7 +377,7 @@ def fit_iterative(
                     block, tol, precond_m, mesh, mesh_axis, early_exit,
                 ),
             )
-            u, st = guard_update(u, st, nll, g_u)
+            u, st = guard_update(u, st, nll, g_u, resid)
             return (u, st), nll
 
         run = jax.jit(
@@ -394,7 +404,7 @@ def fit_iterative(
                     mesh=mesh, mesh_axis=mesh_axis, early_exit=early_exit,
                 ),
             )
-            u, opt_state = guard_update(u, opt_state, nll, g_u)
+            u, opt_state = guard_update(u, opt_state, nll, g_u, resid)
             hist.append(float(nll))
             callback(i, float(nll))
         hist = jnp.asarray(hist)

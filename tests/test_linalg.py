@@ -150,3 +150,26 @@ def test_mll_custom_vjp_matches_autodiff():
     f = lambda K: jnp.sum(chol.mll(K, yb, 0.05, 1e-8))
     g = jax.grad(f)(Kb)
     assert g.shape == Kb.shape and np.all(np.isfinite(np.asarray(g)))
+
+
+def test_slq_sanitizes_nonfinite_coefficients():
+    """f32 overflow on catastrophically conditioned K can leave inf/NaN in
+    the CG α/β recurrence; the SLQ tridiagonal assembly must degrade those
+    columns to identity rows (biased estimate) instead of returning NaN."""
+    import numpy as np
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import (
+        slq_logdet,
+        slq_logdet_host,
+    )
+
+    t, r = 6, 4
+    rng = np.random.default_rng(0)
+    alphas = np.abs(rng.standard_normal((t, r))) + 0.5
+    betas = np.abs(rng.standard_normal((t, r))) * 0.1
+    alphas[3, 1] = np.nan
+    betas[2, 2] = np.inf
+    zw = np.full((r,), 10.0)
+    v_dev = float(slq_logdet(jnp.asarray(alphas), jnp.asarray(betas),
+                             jnp.asarray(zw), 10))
+    v_host = slq_logdet_host(alphas, betas, zw, 10)
+    assert np.isfinite(v_dev) and np.isfinite(v_host)
