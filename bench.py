@@ -69,7 +69,8 @@ def main() -> None:
     noise = 0.01
     key = jr.PRNGKey(0)
 
-    # tol 3e-3 (absolute residual; relative ~1e-5 at these RHS norms) with
+    # tol 3e-3 (mBCG's absolute stopping residual; the returned resid is
+    # RELATIVE ~1e-5 at these RHS norms) with
     # early-exit mBCG: the rank-256 Nyström preconditioner converges the
     # solves in far fewer than the 50-iteration cap, and SLQ probe noise —
     # not CG tolerance — dominates the NLL error (BENCHMARKS.md accuracy row).
@@ -85,7 +86,7 @@ def main() -> None:
         return jax.device_get((nll, jnp.max(resid)))
 
     nll, resid = step()
-    assert float(resid) < 1e-2, f"CG did not converge: {resid}"
+    assert float(resid) < 1e-3, f"CG did not converge (rel resid): {resid}"
 
     times = []
     for _ in range(REPS):

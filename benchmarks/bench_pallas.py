@@ -100,6 +100,39 @@ def main():
                 "x_sol": round(dt * 1e3 / sol_ms, 1),
             }), flush=True)
 
+    # ---- fused Gram·V matvec (the iterative-fit hot op) vs streamed XLA ----
+    from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
+        streamed_gram_matvec,
+    )
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+        fused_gram_matvec,
+    )
+
+    se_plain = gpf.SquaredExponentialKernel()
+    for n in (50_000, 100_000):
+        x = jnp.asarray(np.sort(rng.uniform(0, 1, (n, 1)), 0), jnp.float32)
+        V = jnp.asarray(rng.standard_normal((n, 9)), jnp.float32)
+        p1 = {"lengthscale": jnp.asarray(0.1, jnp.float32)}
+
+        @jax.jit
+        def mv_stream(x=x, V=V, p1=p1):
+            return jnp.sum(streamed_gram_matvec(se_plain, p1, x, V, 4096))
+
+        @jax.jit
+        def mv_fused(x=x, V=V, p1=p1):
+            return jnp.sum(fused_gram_matvec(x, V, p1["lengthscale"]))
+
+        a, b = jax.device_get((mv_stream(), mv_fused()))
+        rel = abs(float(a) - float(b)) / max(abs(float(a)), 1e-30)
+        for name, fn in (("stream_xla", mv_stream), ("fused_pallas", mv_fused)):
+            dt = timed_scalar(fn)
+            # traffic model: streamed writes+reads each K panel (2·4·n² bytes)
+            print(json.dumps({
+                "config": f"matvec_{name}", "n": n, "r": 9,
+                "ms": round(dt * 1e3, 2), "rel_err_vs_other": round(rel, 7),
+                "hbm_gb_touched_streamed_model": round(8.0 * n * n / 1e9, 1),
+            }), flush=True)
+
 
 if __name__ == "__main__":
     main()

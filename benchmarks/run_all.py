@@ -100,7 +100,7 @@ def bench_iterative_fit(n, steps, dtype):
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(0),
         steps=steps, lr=0.03, num_probes=8, max_iters=50, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
-        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.1,
+        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.01,
     )
     hist_h = jax.device_get(hist)
     dt = time.perf_counter() - t0
@@ -110,7 +110,7 @@ def bench_iterative_fit(n, steps, dtype):
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(1),
         steps=min(10, steps), lr=0.03, num_probes=8, max_iters=50, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
-        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.1,
+        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.01,
     )
     jax.device_get(hist2)
     dt_steady = (time.perf_counter() - t1) / min(10, steps)

@@ -60,6 +60,8 @@ def _core_impl(
 ):
     """(nll, grad_kernel_params, grad_noise, resid) without forming K.
 
+    ``resid`` is the RELATIVE residual ‖r‖/‖b‖ per CG column.
+
     With ``precond_m > 0`` a rank-m Nyström preconditioner P = σ²I + AAᵀ is
     used (GPyTorch Gardner et al. 2018, §"preconditioning"):
       * PCG on [y | probes] — iterations drop with the preconditioner quality;
@@ -158,6 +160,12 @@ def _core_impl(
     )
     alpha = res.solves[:, 0]
     zhat = res.solves[:, 1:]
+    # report RELATIVE residuals ‖r‖/‖b‖ per column: scale-free across n (the
+    # absolute norms grow like √n·std, making any fixed threshold meaningless
+    # at large n — the r3 resid_guard lesson); mbcg's stopping tol stays
+    # absolute for reference parity (LinearConjugateGradients.py:17-20)
+    col_norms = jnp.linalg.norm(B, axis=0)
+    resid_rel = res.resid_norm / jnp.maximum(col_norms, jnp.finfo(B.dtype).tiny)
 
     data_fit = jnp.dot(y, alpha)
 
@@ -202,7 +210,7 @@ def _core_impl(
     grad_noise = 0.5 * (trace_est - jnp.dot(alpha, alpha))
     return (
         data_fit, log_P, res.alphas[:, 1:], res.betas[:, 1:], z_weights,
-        grad_params, grad_noise, res.resid_norm,
+        grad_params, grad_noise, resid_rel,
     )
 
 

@@ -46,3 +46,45 @@ def test_matern_gram_matches_formula():
         if nu == "52":
             ref = (1 + f + 5 * d * d / (3 * 0.25**2)) * np.exp(-f)
         np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+@pytest.mark.parametrize("n,d,r,kind", [(300, 1, 5, "se"), (64, 3, 2, "se"),
+                                        (200, 1, 3, "mat52"),
+                                        (128, 1, 1, "mat32")])
+def test_fused_gram_matvec_matches_streamed(n, d, r, kind):
+    """Fused VMEM-tile K·V vs the dense K @ V oracle (interpret mode)."""
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+        fused_gram_matvec,
+    )
+
+    rng = np.random.default_rng(0)
+    x = _x(n, d, 0)
+    V = jnp.asarray(rng.standard_normal((n, r)), jnp.float32)
+    got = np.asarray(fused_gram_matvec(x, V, 0.3, 1.4, kind=kind,
+                                       interpret=True))
+    kmap = {"se": gpf.SquaredExponentialKernel(scaled=True),
+            "mat32": gpf.Matern32Kernel(scaled=True),
+            "mat52": gpf.Matern52Kernel(scaled=True)}
+    K = np.asarray(kmap[kind].gram(
+        {"lengthscale": jnp.float32(0.3), "variance": jnp.float32(1.4)}, x, x))
+    np.testing.assert_allclose(got, K @ np.asarray(V), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matvec_for_dispatch():
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import fused_matvec_for
+
+    x1 = _x(64, 1)
+    x3 = _x(64, 3)
+    p = {"lengthscale": jnp.float32(0.3)}
+    # supported combinations (interpret forces eligibility off-TPU)
+    assert fused_matvec_for(gpf.SquaredExponentialKernel(), p, x1,
+                            interpret=True) is not None
+    assert fused_matvec_for(gpf.Matern52Kernel(), p, x1, interpret=True) is not None
+    # Matérn d>1 is Manhattan in the reference — must NOT route to Euclidean tiles
+    assert fused_matvec_for(gpf.Matern52Kernel(), p, x3, interpret=True) is None
+    # composite kernels fall back
+    comp = gpf.SquaredExponentialKernel() + gpf.LinearKernel()
+    cp = comp.init_params([[0.0, 1.0]], 64)
+    assert fused_matvec_for(comp, cp, x1, interpret=True) is None
+    # off-TPU (no interpret): no routing
+    assert fused_matvec_for(gpf.SquaredExponentialKernel(), p, x1) is None
