@@ -35,10 +35,19 @@ from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
 def _cot_vjp(kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp):
     """Contract the low-rank cotangent U·Wᵀ with ∂K/∂θ: densely through the
     already-taken Gram VJP when K is materialised (simple program, fast
-    compile), streamed in row blocks otherwise."""
+    compile); else via the fused Pallas pass (analytic in-tile ∂K/∂θ, one n²
+    sweep, no K panels in HBM) when the kernel qualifies; else streamed XLA
+    row blocks under autodiff."""
     if dense_gram_vjp is not None:
         (g,) = dense_gram_vjp(jnp.matmul(U, W.T, precision=hp))
         return g
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+        fused_lowrank_vjp_for,
+    )
+
+    fused = fused_lowrank_vjp_for(kernel, kernel_params, x)
+    if fused is not None:
+        return fused(U, W)
     return lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
 
 
@@ -57,6 +66,7 @@ def _core_impl(
     mesh=None,
     mesh_axis: str = "tp",
     early_exit: bool = True,
+    materialize: bool | None = None,
 ):
     """(nll, grad_kernel_params, grad_noise, resid) without forming K.
 
@@ -95,8 +105,12 @@ def _core_impl(
     hp = jax.lax.Precision.HIGHEST
     # below ~40k (f32) K fits in HBM: build it once outside the CG loop and
     # use plain matmuls (deterministic; above, stream row panels per matvec —
-    # K never exists, at the price of rebuilding Gram tiles each iteration)
-    materialize = n <= 40_000 or mesh is not None
+    # K never exists, at the price of rebuilding Gram tiles each iteration).
+    # ``materialize=False`` forces the streaming/fused-Pallas path (A/B knob:
+    # recomputing tiles in VMEM can beat re-READING a resident K from HBM)
+    if materialize is None:
+        materialize = n <= 40_000
+    materialize = materialize or mesh is not None
     if materialize:
         # with a mesh, K is built and held as row panels: n²/P per chip
         K, dense_gram_vjp = jax.vjp(
@@ -216,7 +230,7 @@ def _core_impl(
 
 _CORE_STATICS = (
     "kernel", "num_probes", "max_iters", "block", "precond_m",
-    "mesh", "mesh_axis", "early_exit",
+    "mesh", "mesh_axis", "early_exit", "materialize",
 )
 _iterative_core = partial(jax.jit, static_argnames=_CORE_STATICS)(_core_impl)
 
@@ -225,7 +239,7 @@ def _nll_grad_device_impl(
     kernel, kernel_params, x, y, noise, key,
     num_probes: int = 8, max_iters: int = 100, block: int = 2048,
     tol: float = 1e-6, precond_m: int = 128, mesh=None, mesh_axis: str = "tp",
-    early_exit: bool = True,
+    early_exit: bool = True, materialize: bool | None = None,
 ):
     """Fully on-device NLL+grad: SLQ logdet via the Jacobi tridiagonal
     eigensolver (``linalg.mbcg.slq_logdet_device``) instead of a host round
@@ -238,7 +252,7 @@ def _nll_grad_device_impl(
     data_fit, log_P, al, be, zw, grad_params, grad_noise, resid = _core_impl(
         kernel, kernel_params, x, y, noise, key,
         num_probes, max_iters, block, tol, precond_m, mesh, mesh_axis,
-        early_exit,
+        early_exit, materialize,
     )
     logdet = log_P + slq_logdet_device(al, be, zw, n)
     nll = 0.5 * data_fit + 0.5 * logdet + 0.5 * n * LOG_2PI
@@ -254,7 +268,7 @@ def iterative_nll_and_grad(
     kernel, kernel_params, x, y, noise, key,
     num_probes: int = 8, max_iters: int = 100, block: int = 2048,
     tol: float = 1e-6, precond_m: int = 128, mesh=None, mesh_axis: str = "tp",
-    early_exit: bool = True,
+    early_exit: bool = True, materialize: bool | None = None,
 ):
     """(nll, grad_kernel_params, grad_noise, resid) — see :func:`_iterative_core`.
 
@@ -268,7 +282,7 @@ def iterative_nll_and_grad(
     data_fit, log_P, al, be, zw, grad_params, grad_noise, resid = _iterative_core(
         kernel, kernel_params, x, y, noise, key,
         num_probes, max_iters, block, tol, precond_m, mesh, mesh_axis,
-        early_exit,
+        early_exit, materialize,
     )
     # ONE batched device→host transfer (each separate float() costs a full
     # round trip, expensive over a tunnelled device)
@@ -302,6 +316,8 @@ def fit_iterative(
     early_exit: bool = True,
     scan_chunk: int = 0,
     resid_guard: float | None = None,
+    materialize: bool | None = None,
+    return_diagnostics: bool = False,
 ):
     """Adam over the iterative NLL — exact-GP fitting at N=100k+ scale.
     With ``mesh``, K row panels shard over ``mesh_axis`` (multi-chip).
@@ -373,7 +389,7 @@ def fit_iterative(
         u_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(bad, a, b), u, u_new
         )
-        return u_new, st
+        return u_new, st, bad
 
     if callback is None:
         def scan_step(carry, k):
@@ -383,26 +399,29 @@ def fit_iterative(
                 lambda kp, noise, kk: _nll_grad_device_impl(
                     kernel, kp, x, y, noise, kk, num_probes, max_iters,
                     block, tol, precond_m, mesh, mesh_axis, early_exit,
+                    materialize,
                 ),
             )
-            u, st = guard_update(u, st, nll, g_u, resid)
-            return (u, st), nll
+            u, st, bad = guard_update(u, st, nll, g_u, resid)
+            return (u, st), (nll, bad)
 
         run = jax.jit(
             lambda u0, st0, ks: jax.lax.scan(scan_step, (u0, st0), ks)
         )
         keys = jr.split(key, steps)
         if scan_chunk and scan_chunk < steps:
-            st, hists = opt_state, []
+            st, hists, bad_chunks = opt_state, [], []
             for c0 in range(0, steps, scan_chunk):
                 kc = keys[c0:c0 + scan_chunk]
-                (u, st), h = run(u, st, kc)
+                (u, st), (h, b) = run(u, st, kc)
                 hists.append(h)
+                bad_chunks.append(b)
             hist = jnp.concatenate(hists)
+            bads = jnp.concatenate(bad_chunks)
         else:
-            (u, _), hist = run(u, opt_state, keys)
+            (u, _), (hist, bads) = run(u, opt_state, keys)
     else:
-        hist = []
+        hist, bads_l = [], []
         for i in range(steps):
             nll, g_u, resid = grads_for(
                 u, jr.fold_in(key, i),
@@ -410,14 +429,25 @@ def fit_iterative(
                     kernel, kp, x, y, noise, kk, num_probes, max_iters,
                     block, tol=tol, precond_m=precond_m,
                     mesh=mesh, mesh_axis=mesh_axis, early_exit=early_exit,
+                    materialize=materialize,
                 ),
             )
-            u, opt_state = guard_update(u, opt_state, nll, g_u, resid)
+            u, opt_state, bad = guard_update(u, opt_state, nll, g_u, resid)
             hist.append(float(nll))
+            bads_l.append(bad)
             callback(i, float(nll))
         hist = jnp.asarray(hist)
+        bads = jnp.asarray(bads_l)
     kp = constrain(pos, u["kernel"])
     noise = jnp.exp(u["log_noise"]) if optimize_noise else jnp.asarray(init_noise)
+    if return_diagnostics:
+        # frozen_frac ≈ 1.0 means every update was rejected (non-finite or
+        # resid_guard) and the returned params are the INIT params — a fit
+        # that silently did nothing. Callers benchmarking or shipping fits
+        # should assert this is small (the r3 lesson: a broken matvec froze
+        # all 100 steps and the NLL "trace" was pure probe noise).
+        diag = {"frozen_frac": float(jnp.mean(bads.astype(jnp.float32)))}
+        return kp, noise, jnp.asarray(hist), diag
     return kp, noise, jnp.asarray(hist)
 
 

@@ -30,7 +30,8 @@ BN = 512
 def _se_tile_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, scal_ref, out_ref):
     """One [BM, BN] tile of variance·exp(−½d²/ℓ²) (+ diag σ²+jitter)."""
     i, j = pl.program_id(0), pl.program_id(1)
-    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32)
+    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     d2 = n1_ref[:] - 2.0 * ab + n2_ref[:]
     d2 = jnp.maximum(d2, 0.0)
     ls = scal_ref[0]
@@ -102,7 +103,8 @@ def se_gram(
 
 def _matern_tile_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, scal_ref, out_ref, *, sqrt_c, d2_term):
     i, j = pl.program_id(0), pl.program_id(1)
-    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32)
+    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
     dist = jnp.sqrt(d2)
     ls = scal_ref[0]
@@ -195,7 +197,8 @@ MV_BN = 512
 def _mv_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, v_ref, scal_ref, o_ref, *,
                kind: str):
     j = pl.program_id(1)
-    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32)
+    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
     ls = scal_ref[0]
     var = scal_ref[1]
@@ -210,7 +213,8 @@ def _mv_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, v_ref, scal_ref, o_ref, *,
         if kind == "mat52":
             poly = poly + 5.0 * d2 / (3.0 * ls * ls)
         k = var * poly * jnp.exp(-frac)
-    contrib = jnp.dot(k, v_ref[:], preferred_element_type=jnp.float32)
+    contrib = jnp.dot(k, v_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(j == 0)
     def _():
@@ -286,23 +290,135 @@ def fused_gram_matvec(
     return out[:, 0] if vec else out
 
 
-def fused_matvec_for(kernel, params, x, interpret: bool = False):
-    """Return a ``V -> K(x,x)@V`` closure using :func:`fused_gram_matvec` when
-    the (kernel, dtype, backend, dimensionality) combination supports it,
-    else None. The streamed-XLA fallback stays in ``ops.gram_matvec``.
+# ---- fused low-rank-cotangent gradient: one pass, analytic ∂K/∂θ ------------
+#
+# The iterative exact-GP gradient is Σ_ij (U Wᵀ)_ij · ∂K_ij/∂θ with a rank-r
+# cotangent (``models.iterative``). The streamed XLA path
+# (``ops.gram_matvec.lowrank_gram_vjp``) materialises each [block, n] K panel
+# plus its cotangent panel in HBM and autodiffs through the build — ~3 full
+# n² HBM round trips per gradient. Here each [BM, BN] tile computes d² (MXU),
+# the cotangent tile U_i·W_jᵀ (MXU), and the ANALYTIC ∂K/∂lengthscale /
+# ∂K/∂variance weights (VPU), reducing straight to per-row-block partial
+# sums: one n² pass, O(n·r) HBM traffic, no autodiff.
 
-    Forward-only by design: the iterative path's gradients come from the
-    low-rank cotangent contraction (``ops.gram_matvec.lowrank_gram_vjp``),
-    never by differentiating the CG matvec, so no Pallas VJP is needed.
-    """
+
+def _lrvjp_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, u_ref, w_ref, scal_ref,
+                  o_ref, *, kind: str):
+    import math
+
+    i, j = pl.program_id(0), pl.program_id(1)
+    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
+    ls = scal_ref[0]
+    var = scal_ref[1]
+    cot = jnp.dot(u_ref[:], w_ref[:].T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    if kind == "se":
+        k = var * jnp.exp(-0.5 * d2 / (ls * ls))
+        dls = k * d2 / (ls * ls * ls)
+    else:
+        sqrt_c = math.sqrt(3.0) if kind == "mat32" else math.sqrt(5.0)
+        f = sqrt_c * jnp.sqrt(d2) / ls
+        e = jnp.exp(-f)
+        if kind == "mat32":
+            k = var * (1.0 + f) * e
+            dls = var * f * f * e / ls
+        else:  # mat52: k = var(1+f+f²/3)e⁻ᶠ, ∂k/∂ls = var·f²(1+f)e⁻ᶠ/(3ls)
+            k = var * (1.0 + f + f * f / 3.0) * e
+            dls = var * f * f * (1.0 + f) * e / (3.0 * ls)
+    # partial sums land in lanes [0,0] (g_ls) and [0,1] (g_var) of one
+    # (8, 128) accumulator block — TPU requires (8,128)-aligned output tiles,
+    # and the sequential grid makes += across iterations well-defined
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    on_row = rows == 0
+    part = jnp.where(
+        jnp.logical_and(on_row, cols == 0), jnp.sum(cot * dls), 0.0
+    ) + jnp.where(
+        jnp.logical_and(on_row, cols == 1), jnp.sum(cot * k) / var, 0.0
+    )
+
+    first = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first)
+    def _():
+        o_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_ref[:] += part
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def fused_lowrank_vjp(
+    x: jnp.ndarray,
+    U: jnp.ndarray,
+    W: jnp.ndarray,
+    lengthscale,
+    variance=1.0,
+    kind: str = "se",
+    interpret: bool = False,
+):
+    """(g_lengthscale, g_variance) of Σ_ij (U Wᵀ)_ij K_ij(θ) in ONE tiled
+    pass with analytic in-tile derivatives. x: [n, d], U/W: [n, r]. f32.
+    ``g_variance`` is Σ cot·K/var (valid whether or not the kernel carries a
+    variance parameter — callers of unscaled kernels just drop it)."""
+    x = x.astype(jnp.float32)
+    U = U.astype(jnp.float32)
+    W = W.astype(jnp.float32)
+    n, d = x.shape
+    r = U.shape[1]
+    B = max(MV_BM, MV_BN)
+    npad = -(-n // B) * B
+    if npad != n:
+        pad = npad - n
+        x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)], 0)
+        U = jnp.concatenate([U, jnp.zeros((pad, r), U.dtype)], 0)
+        W = jnp.concatenate([W, jnp.zeros((pad, r), W.dtype)], 0)
+    x2t = x.T
+    n1 = jnp.sum(x * x, axis=-1, keepdims=True)
+    n2 = n1.T
+    scal = jnp.stack([
+        jnp.asarray(lengthscale, jnp.float32),
+        jnp.asarray(variance, jnp.float32),
+    ])
+    gi, gj = npad // MV_BM, npad // MV_BN
+    out = pl.pallas_call(
+        functools.partial(_lrvjp_kernel, kind=kind),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        grid=(gi, gj),
+        in_specs=[
+            pl.BlockSpec((MV_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, MV_BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MV_BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MV_BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MV_BM, r), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MV_BN, r), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * npad * (d + r) + 12 * npad * npad,
+            bytes_accessed=4 * (npad * d + 2 * npad * r) * gj,
+            transcendentals=npad * npad,
+        ),
+        interpret=interpret,
+    )(x, x2t, n1, n2, U, W, scal)
+    return out[0, 0], out[0, 1]
+
+
+def _fused_kind_for(kernel, params, x):
+    """Shared routing predicate: Pallas tile kernels cover f32 SE (any d) and
+    Matérn-3/2 / -5/2 at d=1 (where Manhattan ≡ Euclidean distance), scalar
+    lengthscale, on TPU (or in interpret mode)."""
     from gaussianprocessfundamentals_tpu.kernels.leaves import (
         Matern32Kernel,
         Matern52Kernel,
         SquaredExponentialKernel,
     )
 
-    if not (interpret or on_tpu()):
-        return None
     if x.dtype != jnp.float32:
         return None
     if isinstance(kernel, SquaredExponentialKernel):
@@ -316,6 +432,50 @@ def fused_matvec_for(kernel, params, x, interpret: bool = False):
     ls = params.get("lengthscale")
     if ls is None or jnp.ndim(ls) != 0:
         return None  # ARD / per-dim lengthscales use the XLA path
+    return kind
+
+
+def fused_lowrank_vjp_for(kernel, params, x, interpret: bool = False):
+    """Return ``(U, W) -> grad_params_dict`` using :func:`fused_lowrank_vjp`
+    when supported (same coverage as :func:`fused_matvec_for`), else None.
+    The returned dict mirrors ``params``' structure exactly."""
+    if not (interpret or on_tpu()):
+        return None
+    kind = _fused_kind_for(kernel, params, x)
+    if kind is None:
+        return None
+    scaled = getattr(kernel, "scaled", False)
+    if scaled and "variance" not in params:
+        return None
+    ls = params["lengthscale"]
+    var = params.get("variance", 1.0)
+
+    def vjp(U, W):
+        g_ls, g_var = fused_lowrank_vjp(x, U, W, ls, var, kind=kind,
+                                        interpret=interpret)
+        out = {"lengthscale": g_ls.astype(jnp.result_type(ls))}
+        if scaled:
+            out["variance"] = g_var.astype(jnp.result_type(ls))
+        return out
+
+    return vjp
+
+
+def fused_matvec_for(kernel, params, x, interpret: bool = False):
+    """Return a ``V -> K(x,x)@V`` closure using :func:`fused_gram_matvec` when
+    the (kernel, dtype, backend, dimensionality) combination supports it,
+    else None. The streamed-XLA fallback stays in ``ops.gram_matvec``.
+
+    Forward-only by design: the iterative path's gradients come from the
+    low-rank cotangent contraction (``ops.gram_matvec.lowrank_gram_vjp``),
+    never by differentiating the CG matvec, so no Pallas VJP is needed.
+    """
+    if not (interpret or on_tpu()):
+        return None
+    kind = _fused_kind_for(kernel, params, x)
+    if kind is None:
+        return None
+    ls = params["lengthscale"]
     var = params.get("variance", 1.0)
     return lambda V: fused_gram_matvec(x, V, ls, var, kind=kind,
                                        interpret=interpret)

@@ -88,3 +88,54 @@ def test_fused_matvec_for_dispatch():
     assert fused_matvec_for(comp, cp, x1, interpret=True) is None
     # off-TPU (no interpret): no routing
     assert fused_matvec_for(gpf.SquaredExponentialKernel(), p, x1) is None
+
+
+@pytest.mark.parametrize("n,d,r,kind,scaled", [
+    (300, 1, 7, "se", True), (70, 3, 4, "se", False),
+    (200, 1, 5, "mat52", True), (128, 1, 3, "mat32", False),
+])
+def test_fused_lowrank_vjp_matches_autodiff(n, d, r, kind, scaled):
+    """One-pass analytic in-tile gradient vs the streamed autodiff VJP."""
+    import jax
+
+    from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
+        lowrank_gram_vjp,
+    )
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+        fused_lowrank_vjp_for,
+    )
+
+    rng = np.random.default_rng(1)
+    x = _x(n, d, 0)
+    U = jnp.asarray(rng.standard_normal((n, r)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((n, r)), jnp.float32)
+    kmap = {"se": gpf.SquaredExponentialKernel, "mat32": gpf.Matern32Kernel,
+            "mat52": gpf.Matern52Kernel}
+    kern = kmap[kind](scaled=scaled)
+    p = {"lengthscale": jnp.float32(0.3)}
+    if scaled:
+        p["variance"] = jnp.float32(1.4)
+    fused = fused_lowrank_vjp_for(kern, p, x, interpret=True)
+    assert fused is not None
+    got = fused(U, W)
+    ref = lowrank_gram_vjp(kern, p, x, U, W, block=64)
+    assert set(got) == set(ref)
+    # same pytree structure as params (required by the tree_map in iterative)
+    jax.tree_util.tree_map(lambda a, b: None, got, p)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=3e-3, atol=3e-3)
+
+
+def test_fused_lowrank_vjp_dispatch():
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+        fused_lowrank_vjp_for,
+    )
+
+    x1, x3 = _x(64, 1), _x(64, 3)
+    p = {"lengthscale": jnp.float32(0.3)}
+    assert fused_lowrank_vjp_for(gpf.SquaredExponentialKernel(), p, x3,
+                                 interpret=True) is not None
+    assert fused_lowrank_vjp_for(gpf.Matern32Kernel(), p, x3,
+                                 interpret=True) is None
+    assert fused_lowrank_vjp_for(gpf.SquaredExponentialKernel(), p, x1) is None
