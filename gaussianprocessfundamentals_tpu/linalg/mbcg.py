@@ -33,10 +33,10 @@ import jax.numpy as jnp
 
 
 class MBCGResult(NamedTuple):
-    solves: jnp.ndarray  # [n, r] approximate Kₙ⁻¹ B
+    solves: jnp.ndarray  # [n, r] best-residual Kₙ⁻¹ B iterates
     alphas: jnp.ndarray  # [t, r] CG step sizes
     betas: jnp.ndarray  # [t, r] CG conjugacy coefficients
-    resid_norm: jnp.ndarray  # [r] final residual norms
+    resid_norm: jnp.ndarray  # [r] BEST (returned-iterate) residual norms
 
 
 def mbcg(
@@ -59,6 +59,15 @@ def mbcg(
     The α/β tails stay zero, which the SLQ tridiagonal assembly already treats
     as identity rows (``lanczos_tridiag_from_cg`` ``dead`` handling), so both
     variants return identical results for converged problems.
+
+    Finite-precision hardening (the r3 N=50k lesson): in f32 the attainable
+    residual floor is ~eps·κ(Kₙ)·‖b‖ — once CG reaches it, further iterations
+    DIVERGE (measured: relative resid 5–7 at n=50k after 50 iterations while
+    the best intermediate iterate was ~1e-2). The returned ``solves`` are
+    therefore the per-column BEST-residual iterates, and a column is frozen
+    as exhausted when its residual grows past ``_DIVERGE_FACTOR ×`` its best
+    (which also zeroes its subsequent α/β so SLQ never sees post-breakdown
+    garbage coefficients).
     """
     n, r = B.shape
     M = precond if precond is not None else (lambda v: v)
@@ -68,9 +77,12 @@ def mbcg(
     Z = M(R)
     P = Z
     rz = jnp.sum(R * Z, axis=0)  # [r]
+    b_norm = jnp.linalg.norm(B, axis=0)
+
+    _DIVERGE_FACTOR = 4.0
 
     def step(carry):
-        X, R, Z, P, rz, done = carry
+        X, R, Z, P, rz, done, bX, bR = carry
         AP = matvec(P)
         pAp = jnp.sum(P * AP, axis=0)
         # f32 hardening: a non-positive or non-finite curvature means the
@@ -85,25 +97,41 @@ def mbcg(
         R_new = R - alpha * AP
         Z_new = M(R_new)
         rz_new = jnp.sum(R_new * Z_new, axis=0)
+        # rz = rᵀP⁻¹r ≤ 0 is impossible for SPD P in exact arithmetic: in f32
+        # it means the column sits at its attainable floor (the inner product
+        # is cancellation noise) — freeze it; iterating on garbage β poisons
+        # both the iterate and the SLQ coefficients (measured r3 at n=50k:
+        # β ~ ±100 and pAp overflow within 3 iterations of an rz sign flip)
+        done = jnp.logical_or(done, rz_new <= 0.0)
         beta = rz_new / jnp.where(rz > 0, rz, 1.0)
         beta = jnp.where(done, 0.0, beta)
         P_new = Z_new + beta * P
         resid = jnp.linalg.norm(R_new, axis=0)
-        done_new = jnp.logical_or(
-            jnp.logical_or(done, resid < tol), ~jnp.isfinite(resid)
+        improved = jnp.logical_and(resid < bR, jnp.isfinite(resid))
+        improved = jnp.logical_and(improved, ~done)
+        bX = jnp.where(improved[None, :], X, bX)
+        bR = jnp.where(improved, resid, bR)
+        # exhaustion = bouncing at the f32 floor AFTER real progress. The
+        # progress gate matters: CG's residual 2-NORM legitimately overshoots
+        # in the first iterations (only the A-norm of the error is monotone),
+        # so growth alone is not breakdown
+        exhausted = jnp.logical_and(
+            bR < 0.01 * b_norm, ~(resid <= _DIVERGE_FACTOR * bR)
         )
+        done_new = jnp.logical_or(jnp.logical_or(done, resid < tol), exhausted)
+        done_new = jnp.logical_or(done_new, ~jnp.isfinite(resid))
         keep = jnp.isfinite(R_new)
         R_new = jnp.where(keep, R_new, R)
-        return (X, R_new, Z_new, P_new, rz_new, done_new), (alpha, beta)
+        return (X, R_new, Z_new, P_new, rz_new, done_new, bX, bR), (alpha, beta)
 
-    init = (X, R, Z, P, rz, jnp.zeros((r,), bool))
+    init = (X, R, Z, P, rz, jnp.zeros((r,), bool), X, b_norm)
     if early_exit:
         dtype = B.dtype
         buf = jnp.zeros((max_iters, r), dtype)
 
         def cond(state):
             i, carry, _, _ = state
-            return jnp.logical_and(i < max_iters, ~jnp.all(carry[-1]))
+            return jnp.logical_and(i < max_iters, ~jnp.all(carry[5]))
 
         def body(state):
             i, carry, alphas, betas = state
@@ -115,14 +143,14 @@ def mbcg(
                 jax.lax.dynamic_update_slice(betas, beta[None], (i, 0)),
             )
 
-        _, (X, R, *_), alphas, betas = jax.lax.while_loop(
+        _, (_, _, _, _, _, _, bX, bR), alphas, betas = jax.lax.while_loop(
             cond, body, (jnp.asarray(0), init, buf, buf)
         )
     else:
-        (X, R, _, _, _, _), (alphas, betas) = jax.lax.scan(
+        (_, _, _, _, _, _, bX, bR), (alphas, betas) = jax.lax.scan(
             lambda c, _: step(c), init, None, length=max_iters
         )
-    return MBCGResult(X, alphas, betas, jnp.linalg.norm(R, axis=0))
+    return MBCGResult(bX, alphas, betas, bR)
 
 
 def lanczos_tridiag_from_cg(
@@ -250,6 +278,65 @@ def jacobi_eigh_small(A: jnp.ndarray, sweeps: int = 12):
         V2 = V2[..., : t - 1, : t - 1]
         t = t - 1
     return w.reshape(batch + (t,)), V2.reshape(batch + (t, t))
+
+
+def jacobi_svd_small(A: jnp.ndarray, sweeps: int = 12):
+    """One-sided Jacobi SVD of a small square matrix A [t, t]: returns
+    (U, s, V) with A ≈ U·diag(s)·Vᵀ, s unsorted, U/V orthogonal.
+
+    Column rotations orthogonalise A directly — the spectrum is NEVER squared
+    (no AᵀA), so small singular values come out with high RELATIVE accuracy
+    (Demmel & Veselić 1992). This is the property the iterative-GP
+    preconditioner needs in f32: forming RrRrᵀ commits an eps·s_max² absolute
+    error that wipes out the σ-scale singular values (measured r3: the
+    Woodbury core solve at κ ≈ 2.5e6 left P⁻¹ applications ~15% wrong and
+    stalled PCG at n=100k). Same batched-rotation machinery as
+    :func:`jacobi_eigh_small`; jit/TPU-friendly, t ≲ 512.
+    """
+    import numpy as np
+
+    t = A.shape[-1]
+    pad = t % 2
+    if pad:
+        A = jnp.pad(A, [(0, 1), (0, 1)])
+        t = t + 1
+    pairs_np = _round_robin_pairs(t)
+    V = jnp.eye(t, dtype=A.dtype)
+    hp = jax.lax.Precision.HIGHEST
+
+    def one_round(carry, pq):
+        A, V = carry
+        p, q = pq[:, 0], pq[:, 1]
+        ap = A[:, p]  # [t, t/2] column bundles
+        aq = A[:, q]
+        app = jnp.sum(ap * ap, axis=0)
+        aqq = jnp.sum(aq * aq, axis=0)
+        apq = jnp.sum(ap * aq, axis=0)
+        # 2×2 symmetric Jacobi angle on the column Gram [app apq; apq aqq]
+        apq_safe = jnp.where(apq == 0.0, 1.0, apq)
+        tau = (aqq - app) / (2.0 * apq_safe)
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+        tt = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        tt = jnp.where(apq == 0.0, 0.0, tt)
+        c = 1.0 / jnp.sqrt(1.0 + tt * tt)
+        s = tt * c
+        J = jnp.zeros_like(A)
+        J = J.at[p, p].set(c)
+        J = J.at[q, q].set(c)
+        J = J.at[p, q].set(s)
+        J = J.at[q, p].set(-s)
+        A = jnp.matmul(A, J, precision=hp)
+        V = jnp.matmul(V, J, precision=hp)
+        return (A, V), None
+
+    sched = jnp.asarray(np.tile(pairs_np, (sweeps, 1, 1)))
+    (A, V), _ = jax.lax.scan(one_round, (A, V), sched)
+    s = jnp.linalg.norm(A, axis=0)  # [t]
+    U = A / jnp.where(s > 0, s, 1.0)[None, :]
+    if pad:
+        t0 = t - 1
+        return U[:t0, :t0], s[:t0], V[:t0, :t0]
+    return U, s, V
 
 
 def slq_logdet_device(

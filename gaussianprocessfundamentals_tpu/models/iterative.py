@@ -72,8 +72,9 @@ def _core_impl(
 
     ``resid`` is the RELATIVE residual ‖r‖/‖b‖ per CG column.
 
-    With ``precond_m > 0`` a rank-m Nyström preconditioner P = σ²I + AAᵀ is
-    used (GPyTorch Gardner et al. 2018, §"preconditioning"):
+    With ``precond_m > 0`` a rank-m pivoted-Cholesky preconditioner
+    P = σ²I + AAᵀ is used (GPyTorch Gardner et al. 2018, §"preconditioning";
+    ``linalg/pivchol.py``):
       * PCG on [y | probes] — iterations drop with the preconditioner quality;
       * probes are drawn z ~ N(0, P) (z = σu + Aw), so the PCG tridiagonals
         estimate log|P⁻¹Kₙ| and log|Kₙ| = log|P| + SLQ with e₁-weights
@@ -127,37 +128,77 @@ def _core_impl(
 
     if precond_m > 0:
         m = min(precond_m, n)
-        z_ind = x[:: max(1, n // m)][:m]
-        # inline Nyström factor with f32-safe jitter + NaN fallback: K_mm is
-        # often near-singular (smooth kernels, close inducing points) and a
-        # failed f32 chol must degrade to P = σ²I, not poison the run
-        K_mm = kernel.gram(kernel_params, z_ind, z_ind)
-        K_nm = kernel.gram(kernel_params, x, z_ind)
-        jit_m = 1e-3 * jnp.mean(jnp.diagonal(K_mm)) + 1e-12
-        L_mm = jnp.linalg.cholesky(K_mm + jit_m * jnp.eye(m, dtype=x.dtype))
-        A = solve_triangular(L_mm, K_nm.T, lower=True).T  # [n, m], P=σ²I+AAᵀ
-        A = shard_rows(jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A)))
+        # rank-m PARTIAL PIVOTED CHOLESKY factor (GPyTorch preconditioner,
+        # linalg/pivchol.py): shift-free and inverse-free. The previous
+        # inline Nyström (A = K_nm·L_mm⁻ᵀ with jittered K_mm) was measured
+        # r3 to be numerically unsound in f32 at n/m ≳ 100 — its ε-bias made
+        # PCG stall at ~0.7 relative residual where σ²I-only CG reached 0.1
+        from gaussianprocessfundamentals_tpu.linalg.pivchol import (
+            partial_pivoted_cholesky,
+        )
+
+        A = partial_pivoted_cholesky(kernel, kernel_params, x, m)  # P=σ²I+AAᵀ
+        A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
         hp = jax.lax.Precision.HIGHEST
-        core = noise * jnp.eye(m, dtype=x.dtype) + jnp.matmul(A.T, A, precision=hp)
-        L_core = jnp.linalg.cholesky(core)
+        # f32-SOUND PRECONDITIONER APPLICATION (r3 measurement campaign):
+        # the plain Woodbury P⁻¹V = (V − A·core⁻¹AᵀV)/σ² subtracts two
+        # O(‖V‖) terms whose difference is O(σ²/λmax)·‖V‖ — round-off noise
+        # once λmax/σ² ≳ 1e⁵ (‖P·P⁻¹v − v‖ measured up to 2.25 at n=50k).
+        # Three ingredients fix it without leaving f32:
+        #   1. thin QR A = Q·Rr, with ONE Newton orthonormalisation step
+        #      Q ← Q(3I − QᵀQ)/2 (raw f32 QR leaves ‖QᵀQ−I‖ ≈ 6e-5, which
+        #      the 1/σ² term amplifies into the dominant error);
+        #   2. one-sided Jacobi SVD Rr = Ur·diag(sv)·Vᵀ — never squares the
+        #      spectrum, so the σ-scale singular values keep RELATIVE
+        #      accuracy (a Cholesky of σ²I + RrRrᵀ at κ ≈ λmax/σ² loses
+        #      them to eps·λmax absolute error);
+        #   3. projector form on the orthonormal basis W = Q·Ur:
+        #         P⁻¹V = (V − W(WᵀV))/σ² + W·diag(1/(sv²+σ²))·WᵀV
+        #      which cancels BEFORE the 1/σ² amplification and applies the
+        #      range part through a perfectly conditioned diagonal.
+        # Dead pivoted-Cholesky tail columns (sv = 0) need no special case:
+        # their range coefficient equals the complement's 1/σ².
+        from gaussianprocessfundamentals_tpu.linalg.mbcg import jacobi_svd_small
+
+        Q, Rr = jnp.linalg.qr(A)  # Q [n, m], Rr [m, m]
+        QtQ = jnp.matmul(Q.T, Q, precision=hp)
+        Q = jnp.matmul(
+            Q, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * QtQ, precision=hp
+        )
+        Ur, sv, _ = jacobi_svd_small(Rr)
+        # singular values with sv² ≤ 1e-3·σ² contribute ≤ 0.1% to the range
+        # coefficient — zero them and their (f32-unresolved, possibly
+        # non-orthogonal) basis columns: they fall back to the complement's
+        # exact 1/σ² behaviour
+        keep = sv * sv > 1e-3 * noise
+        sv = jnp.where(keep, sv, 0.0)
+        Ur = Ur * keep[None, :].astype(Ur.dtype)
+        W_b = jnp.matmul(Q, Ur, precision=hp)  # [n, m] ~orthonormal
+        # two Newton orthonormalisation passes on the final basis (quadratic
+        # for small error): the projector term amplifies any ‖WᵀW−I‖ by 1/σ²
+        for _ in range(2):
+            WtW = jnp.matmul(W_b.T, W_b, precision=hp)
+            W_b = jnp.matmul(
+                W_b, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * WtW, precision=hp
+            )
+        W_b = shard_rows(W_b)
+        d_rng = 1.0 / (sv * sv + noise)  # [m]
 
         def P_inv(V):
             vec = V.ndim == 1
             Vm = V[:, None] if vec else V
-            t = solve_triangular(
-                L_core, jnp.matmul(A.T, Vm, precision=hp), lower=True
-            )
-            t = solve_triangular(L_core, t, lower=True, trans=1)
-            out = (Vm - jnp.matmul(A, t, precision=hp)) / noise
+            c = jnp.matmul(W_b.T, Vm, precision=hp)  # [m, r]
+            comp = (Vm - jnp.matmul(W_b, c, precision=hp)) / noise
+            out = comp + jnp.matmul(W_b, d_rng[:, None] * c, precision=hp)
             return out[:, 0] if vec else out
 
-        log_P = (n - m) * jnp.log(noise) + 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(L_core))
-        )
-        # z ~ N(0, P): cov(σu + Aw) = σ²I + AAᵀ = P
+        log_P = (n - m) * jnp.log(noise) + jnp.sum(jnp.log(sv * sv + noise))
+        # z ~ N(0, P): cov(σu + W·diag(sv)·w) = σ²I + W sv² Wᵀ = P
         u = jr.normal(key_u, (n, s), x.dtype)
         w = jr.normal(key_w, (m, s), x.dtype)
-        z = jnp.sqrt(noise) * u + jnp.matmul(A, w, precision=hp)
+        z = jnp.sqrt(noise) * u + jnp.matmul(
+            W_b, sv[:, None] * w, precision=hp
+        )
         zt = P_inv(z)  # P⁻¹z (also the SLQ e₁ weights zᵀP⁻¹z)
         z_weights = jnp.sum(z * zt, axis=0)
     else:
@@ -190,7 +231,12 @@ def _core_impl(
     # so the probes only carry the (small) residual Kₙ⁻¹ − P⁻¹ and every
     # term is low-rank or diagonal → streamed contraction, never n².
     if precond_m > 0:
-        G = solve_triangular(L_core, A.T, lower=True).T / jnp.sqrt(noise)
+        # P⁻¹ = I/σ² − W_b·diag(g)·W_bᵀ with g = sv²/(σ²(sv²+σ²)) ≥ 0 —
+        # diagonal in the SVD basis, so the symmetric square root is just
+        # diag(√g) (dead columns give g = 0, no special case)
+        G = W_b * jnp.sqrt(
+            sv * sv / (noise * (sv * sv + noise))
+        )[None, :]  # [n, m]
         rhat = zhat - zt  # (Kₙ⁻¹ − P⁻¹)Z
         U = jnp.concatenate(
             [rhat / (4.0 * s), zt / (4.0 * s), -0.5 * G,

@@ -27,13 +27,26 @@ BM = 512
 BN = 512
 
 
+
+def _tile_sq_dists(x1_ref, x2t_ref, n1_ref, n2_ref):
+    """Squared distances for one tile. d = 1 uses DIRECT differences on the
+    VPU — exact to f32 eps. The MXU norm-expansion n1 − 2·x1x2ᵀ + n2 leaves
+    ~2e-7 relative error on d² (3-pass f32 product round-off), which
+    exp(−d²/2ℓ²) amplifies ×(range/ℓ)² into ~1e-5 kernel-entry error — enough
+    to floor CG at ε·κ ≈ 0.2 relative residual at n = 50–100k (measured r3).
+    d > 1 keeps the MXU expansion (no cheap exact alternative)."""
+    if x1_ref.shape[1] == 1:
+        diff = x1_ref[:] - x2t_ref[:]  # [bm, 1] - [1, bn] -> [bm, bn]
+        return diff * diff
+    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
+
+
 def _se_tile_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, scal_ref, out_ref):
     """One [BM, BN] tile of variance·exp(−½d²/ℓ²) (+ diag σ²+jitter)."""
     i, j = pl.program_id(0), pl.program_id(1)
-    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    d2 = n1_ref[:] - 2.0 * ab + n2_ref[:]
-    d2 = jnp.maximum(d2, 0.0)
+    d2 = _tile_sq_dists(x1_ref, x2t_ref, n1_ref, n2_ref)
     ls = scal_ref[0]
     var = scal_ref[1]
     diag = scal_ref[2]
@@ -103,9 +116,7 @@ def se_gram(
 
 def _matern_tile_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, scal_ref, out_ref, *, sqrt_c, d2_term):
     i, j = pl.program_id(0), pl.program_id(1)
-    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
+    d2 = _tile_sq_dists(x1_ref, x2t_ref, n1_ref, n2_ref)
     dist = jnp.sqrt(d2)
     ls = scal_ref[0]
     var = scal_ref[1]
@@ -197,9 +208,7 @@ MV_BN = 512
 def _mv_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, v_ref, scal_ref, o_ref, *,
                kind: str):
     j = pl.program_id(1)
-    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
+    d2 = _tile_sq_dists(x1_ref, x2t_ref, n1_ref, n2_ref)
     ls = scal_ref[0]
     var = scal_ref[1]
     if kind == "se":
@@ -307,9 +316,7 @@ def _lrvjp_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, u_ref, w_ref, scal_ref,
     import math
 
     i, j = pl.program_id(0), pl.program_id(1)
-    ab = jnp.dot(x1_ref[:], x2t_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(n1_ref[:] - 2.0 * ab + n2_ref[:], 0.0)
+    d2 = _tile_sq_dists(x1_ref, x2t_ref, n1_ref, n2_ref)
     ls = scal_ref[0]
     var = scal_ref[1]
     cot = jnp.dot(u_ref[:], w_ref[:].T, preferred_element_type=jnp.float32,

@@ -173,3 +173,70 @@ def test_slq_sanitizes_nonfinite_coefficients():
                              jnp.asarray(zw), 10))
     v_host = slq_logdet_host(alphas, betas, zw, 10)
     assert np.isfinite(v_dev) and np.isfinite(v_host)
+
+
+class TestPivotedCholesky:
+    """linalg/pivchol.py — the iterative path's preconditioner factor."""
+
+    def _x(self, n, d=1, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(np.sort(rng.uniform(0, 1, (n, d)), 0))
+
+    def test_full_rank_reconstructs(self):
+        import numpy as np
+
+        import gaussianprocessfundamentals_tpu as gpf
+        from gaussianprocessfundamentals_tpu.linalg.pivchol import (
+            partial_pivoted_cholesky,
+        )
+
+        x = self._x(80)
+        k = gpf.Matern52Kernel(scaled=True)
+        p = {"lengthscale": jnp.asarray(0.2), "variance": jnp.asarray(1.5)}
+        K = np.asarray(k.gram(p, x, x))
+        L = np.asarray(partial_pivoted_cholesky(k, p, x, 80))
+        np.testing.assert_allclose(L @ L.T, K, atol=1e-8)
+
+    def test_low_rank_dominates_spectrum_and_psd(self):
+        import numpy as np
+
+        import gaussianprocessfundamentals_tpu as gpf
+        from gaussianprocessfundamentals_tpu.linalg.pivchol import (
+            partial_pivoted_cholesky,
+        )
+
+        x = self._x(300)
+        k = gpf.SquaredExponentialKernel()
+        p = {"lengthscale": jnp.asarray(0.1)}
+        K = np.asarray(k.gram(p, x, x))
+        L = np.asarray(partial_pivoted_cholesky(k, p, x, 64))
+        # SE at ls=0.1 has numerical rank far below 64: near-exact capture,
+        # and the greedy bound err ≤ trace of the remaining diagonal
+        rel = np.linalg.norm(L @ L.T - K) / np.linalg.norm(K)
+        assert rel < 1e-3, rel
+        # K − LLᵀ must stay PSD (pivoted Cholesky is a PSD Schur complement)
+        w = np.linalg.eigvalsh(K - L @ L.T)
+        assert w.min() > -1e-6, w.min()
+
+    def test_rank_beyond_numerical_rank_freezes(self):
+        import numpy as np
+
+        import gaussianprocessfundamentals_tpu as gpf
+        from gaussianprocessfundamentals_tpu.linalg.pivchol import (
+            partial_pivoted_cholesky,
+        )
+
+        # LinearKernel has exact rank 2: columns beyond it must be zero,
+        # not NaN from a sqrt of a zero/negative pivot
+        x = self._x(50)
+        k = gpf.LinearKernel()
+        p = k.init_params([[0.0, 1.0]], 50)
+        L = np.asarray(partial_pivoted_cholesky(k, p, x, 8))
+        assert np.all(np.isfinite(L))
+        K = np.asarray(k.gram(p, x, x))
+        np.testing.assert_allclose(L @ L.T, K, atol=1e-8)
+        # residual pivots beyond the true rank are f64 round-off (~1e-16
+        # diag), so trailing columns are ~√eps-tiny, not necessarily exact 0
+        assert np.abs(L[:, 3:]).max() < 1e-6
