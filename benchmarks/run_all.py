@@ -91,16 +91,19 @@ def bench_iterative_fit(n, steps, dtype):
     # crash-safe large-N configuration (BENCHMARKS.md row 3' history): fixed
     # 50-iteration mBCG (early_exit=False — a while_loop nested in the big
     # scan program kills the TPU worker at this size) and the step loop cut
-    # into scan_chunk-sized device programs
-    # lr 0.03: at this scale lr=0.1 oscillates into the ill-conditioned
-    # region (measured r3); resid_guard freezes updates the moment the PCG
-    # residual says the solves are unreliable (SLQ-bias runaway protection)
+    # into scan_chunk-sized device programs.
+    # resid_guard 0.5 on the MEDIAN column residual: at this
+    # n/conditioning some probe column always sits at its f32 eps·κ floor
+    # (≈1 relative) while healthy medians are ~0.05–0.1 — and the SLQ-bias
+    # runaway (ℓ grows → solves degrade → biased logdet pulls further; a
+    # guard-free 100-step run reached NLL/n −1.263 then exploded to +1.23)
+    # degrades MOST columns at once, which the median catches.
     t0 = time.perf_counter()
     kp, noise, hist, diag = fit_iterative(
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(0),
-        steps=steps, lr=0.03, num_probes=8, max_iters=50, block=4096,
+        steps=steps, lr=0.05, num_probes=8, max_iters=50, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
-        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.01,
+        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.5,
         return_diagnostics=True,
     )
     hist_h = jax.device_get(hist)
@@ -109,9 +112,9 @@ def bench_iterative_fit(n, steps, dtype):
     t1 = time.perf_counter()
     _, _, hist2 = fit_iterative(
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(1),
-        steps=min(10, steps), lr=0.03, num_probes=8, max_iters=50, block=4096,
+        steps=min(10, steps), lr=0.05, num_probes=8, max_iters=50, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
-        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.01,
+        scan_chunk=10 if n > 20_000 else 0, resid_guard=0.5,
     )
     jax.device_get(hist2)
     dt_steady = (time.perf_counter() - t1) / min(10, steps)

@@ -424,8 +424,12 @@ def fit_iterative(
                   for l in jax.tree_util.tree_leaves(g_u) + [nll]]
         bad = ~jnp.all(jnp.asarray(finite))
         if resid_guard is not None:
+            # MEDIAN over columns (r3): at large n one probe column always
+            # sits at its f32 eps·κ floor (≈1 relative), so a max-based
+            # guard freezes every step; the runaway signature is MOST
+            # columns degrading at once, which the median tracks
             bad = jnp.logical_or(
-                bad, ~(jnp.max(resid) <= resid_guard)  # catches NaN resid too
+                bad, ~(jnp.median(resid) <= resid_guard)  # catches NaN too
             )
         g_u = jax.tree_util.tree_map(
             lambda g: jnp.where(bad, jnp.zeros_like(g), g), g_u

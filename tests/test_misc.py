@@ -43,7 +43,10 @@ def test_make_nll_gram_fn_override_pallas_interpret():
     )
     u = init_uparams(k, gpf.ZeroMean(), [[0.0, 1.0]], 96, dtype=x.dtype)
     a, b = float(nll_default(u)), float(nll_pallas(u))
-    np.testing.assert_allclose(a, b, rtol=1e-4)
+    # the tile kernels use EXACT d=1 differences while the XLA builder uses
+    # the matmul norm-expansion — their f32 Grams differ by the expansion's
+    # cancellation error, which the Cholesky/logdet amplifies a little
+    np.testing.assert_allclose(a, b, rtol=1e-3)
 
 
 def test_posterior_full_cov_consistency():
