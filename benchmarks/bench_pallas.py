@@ -133,6 +133,42 @@ def main():
                 "hbm_gb_touched_streamed_model": round(8.0 * n * n / 1e9, 1),
             }), flush=True)
 
+    # ---- COMPOSITE matvec A/B (config 2's kernel; r4 VERDICT item 4):
+    # in-tile AST engine vs streamed XLA for SE·PER + SE + LIN + WN ----
+    from gaussianprocessfundamentals_tpu.ops.pallas_expr import (
+        expr_matvec_for,
+    )
+
+    mauna = (
+        gpf.SquaredExponentialKernel(scaled=True) * gpf.PeriodicKernel()
+        + gpf.SquaredExponentialKernel()
+        + gpf.LinearKernel()
+        + gpf.WhiteNoiseKernel(scaled=True)
+    )
+    for n in (50_000, 100_000):
+        x = jnp.asarray(np.sort(rng.uniform(0, 1, (n, 1)), 0), jnp.float32)
+        V = jnp.asarray(rng.standard_normal((n, 9)), jnp.float32)
+        pm = mauna.init_params([[0.0, 1.0]], n, dtype=jnp.float32)
+        mv_expr = expr_matvec_for(mauna, pm, x)
+        assert mv_expr is not None, "composite failed to route to pallas_expr"
+
+        @jax.jit
+        def mvc_stream(x=x, V=V, pm=pm):
+            return jnp.sum(streamed_gram_matvec(mauna, pm, x, V, 4096))
+
+        @jax.jit
+        def mvc_expr(V=V):
+            return jnp.sum(mv_expr(V))
+
+        a, b = jax.device_get((mvc_stream(), mvc_expr()))
+        rel = abs(float(a) - float(b)) / max(abs(float(a)), 1e-30)
+        for name, fn in (("stream_xla", mvc_stream), ("expr_pallas", mvc_expr)):
+            dt = timed_scalar(fn)
+            print(json.dumps({
+                "config": f"composite_matvec_{name}", "n": n, "r": 9,
+                "ms": round(dt * 1e3, 2), "rel_err_vs_other": round(rel, 7),
+            }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -188,10 +188,26 @@ def bench_nuts(n, chains, dtype):
                            num_samples=num, num_warmup=100, max_depth=6)
     jax.device_get(res2.accept_stat)
     dt_steady = time.perf_counter() - t1
+    # quality metrics (r4 VERDICT item 9): ESS/s and split-R̂ per scalar
+    # hyperparameter trace — samples/s alone cannot be compared honestly
+    # across sampler configurations
+    from gaussianprocessfundamentals_tpu.mcmc.hmc import (
+        effective_sample_size,
+        potential_scale_reduction,
+    )
+
+    traces = [
+        np.asarray(l).reshape(chains, num)
+        for l in jax.tree_util.tree_leaves(res2.samples)
+    ]
+    ess = [float(effective_sample_size(jnp.asarray(t))) for t in traces]
+    rhat = [float(potential_scale_reduction(jnp.asarray(t))) for t in traces]
     return {"config": "nuts_matern52", "n": n, "chains": chains,
             "samples_per_s": round(chains * num / dt, 1),
             "samples_per_s_steady": round(chains * num / dt_steady, 1),
-            "accept": round(float(res.accept_stat.mean()), 2)}
+            "accept": round(float(res.accept_stat.mean()), 2),
+            "min_ess_per_s": round(min(ess) / dt_steady, 1),
+            "max_rhat": round(max(rhat), 3)}
 
 
 def bench_svgp(n, m, steps, dtype):

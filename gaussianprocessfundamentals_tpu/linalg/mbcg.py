@@ -80,9 +80,18 @@ def mbcg(
     b_norm = jnp.linalg.norm(B, axis=0)
 
     _DIVERGE_FACTOR = 4.0
+    # consecutive >4×best excursions before freezing a column. Measured on a
+    # legitimately converging κ=1e6 f64 system: 8–15+ consecutive 2-norm
+    # excursions occur mid-convergence (the count is trajectory-sensitive),
+    # so the window must comfortably exceed that. At the f32 floor the
+    # divergence persists indefinitely, so 25 still catches every real
+    # breakdown — and the excursion iterations themselves are legitimate CG
+    # steps (rz, pAp > 0), so their SLQ coefficients are valid and the only
+    # cost of a wide window is wasted matvecs.
+    _EXHAUST_ITERS = 25
 
     def step(carry):
-        X, R, Z, P, rz, done, bX, bR = carry
+        X, R, Z, P, rz, done, bX, bR, stall = carry
         AP = matvec(P)
         pAp = jnp.sum(P * AP, axis=0)
         # f32 hardening: a non-positive or non-finite curvature means the
@@ -90,9 +99,11 @@ def mbcg(
         # with its current iterate instead of poisoning it (cf. the
         # reference's NaN bail-out, LinearConjugateGradients.py:21-24)
         bad = jnp.logical_or(pAp <= 0.0, ~jnp.isfinite(pAp))
-        done = jnp.logical_or(done, bad)
+        # mask under which alpha is zeroed (X untouched this step): columns
+        # frozen in PRIOR iterations plus this step's pAp breakdown
+        done_alpha = jnp.logical_or(done, bad)
         alpha = rz / jnp.where(pAp > 0, pAp, 1.0)
-        alpha = jnp.where(done, 0.0, alpha)
+        alpha = jnp.where(done_alpha, 0.0, alpha)
         X = X + alpha * P
         R_new = R - alpha * AP
         Z_new = M(R_new)
@@ -102,29 +113,42 @@ def mbcg(
         # is cancellation noise) — freeze it; iterating on garbage β poisons
         # both the iterate and the SLQ coefficients (measured r3 at n=50k:
         # β ~ ±100 and pAp overflow within 3 iterations of an rz sign flip)
-        done = jnp.logical_or(done, rz_new <= 0.0)
+        done = jnp.logical_or(done_alpha, rz_new <= 0.0)
         beta = rz_new / jnp.where(rz > 0, rz, 1.0)
         beta = jnp.where(done, 0.0, beta)
         P_new = Z_new + beta * P
         resid = jnp.linalg.norm(R_new, axis=0)
+        # best-iterate bookkeeping gates on done_ALPHA, not done: a column
+        # whose rz froze THIS step still took a valid alpha step (alpha was
+        # computed from the pre-update rz > 0), so its — possibly exactly
+        # converged — iterate must remain recordable. Gating on the post-rz
+        # `done` discarded it (one-step convergence returned the ZERO solve).
         improved = jnp.logical_and(resid < bR, jnp.isfinite(resid))
-        improved = jnp.logical_and(improved, ~done)
+        improved = jnp.logical_and(improved, ~done_alpha)
         bX = jnp.where(improved[None, :], X, bX)
         bR = jnp.where(improved, resid, bR)
-        # exhaustion = bouncing at the f32 floor AFTER real progress. The
-        # progress gate matters: CG's residual 2-NORM legitimately overshoots
-        # in the first iterations (only the A-norm of the error is monotone),
-        # so growth alone is not breakdown
-        exhausted = jnp.logical_and(
+        # exhaustion = bouncing at the f32 floor AFTER real progress, for
+        # several CONSECUTIVE iterations. The progress gate matters: CG's
+        # residual 2-NORM legitimately overshoots early (only the A-norm of
+        # the error is monotone); the consecutive-count gate keeps a single
+        # transient 2-norm excursion past 4×best from permanently freezing a
+        # column that would have kept converging.
+        excursion = jnp.logical_and(
             bR < 0.01 * b_norm, ~(resid <= _DIVERGE_FACTOR * bR)
         )
+        stall = jnp.where(excursion, stall + 1, 0)
+        exhausted = stall >= _EXHAUST_ITERS
         done_new = jnp.logical_or(jnp.logical_or(done, resid < tol), exhausted)
         done_new = jnp.logical_or(done_new, ~jnp.isfinite(resid))
         keep = jnp.isfinite(R_new)
         R_new = jnp.where(keep, R_new, R)
-        return (X, R_new, Z_new, P_new, rz_new, done_new, bX, bR), (alpha, beta)
+        return (
+            (X, R_new, Z_new, P_new, rz_new, done_new, bX, bR, stall),
+            (alpha, beta),
+        )
 
-    init = (X, R, Z, P, rz, jnp.zeros((r,), bool), X, b_norm)
+    init = (X, R, Z, P, rz, jnp.zeros((r,), bool), X, b_norm,
+            jnp.zeros((r,), jnp.int32))
     if early_exit:
         dtype = B.dtype
         buf = jnp.zeros((max_iters, r), dtype)
@@ -143,13 +167,15 @@ def mbcg(
                 jax.lax.dynamic_update_slice(betas, beta[None], (i, 0)),
             )
 
-        _, (_, _, _, _, _, _, bX, bR), alphas, betas = jax.lax.while_loop(
+        _, carry_out, alphas, betas = jax.lax.while_loop(
             cond, body, (jnp.asarray(0), init, buf, buf)
         )
+        bX, bR = carry_out[6], carry_out[7]
     else:
-        (_, _, _, _, _, _, bX, bR), (alphas, betas) = jax.lax.scan(
+        carry_out, (alphas, betas) = jax.lax.scan(
             lambda c, _: step(c), init, None, length=max_iters
         )
+        bX, bR = carry_out[6], carry_out[7]
     return MBCGResult(bX, alphas, betas, bR)
 
 

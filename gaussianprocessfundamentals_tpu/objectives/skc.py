@@ -67,6 +67,14 @@ def skc_upper_bound(
     # SkcLogLikelihood.py:53-69): num_iters CG steps leave quad(α) above the
     # K̂ minimum by more than the K-vs-K̂ gap in practice — an empirical upper
     # bound, verified across m and num_iters in tests/test_block_cholesky.py.
+    # Adversarial margins (measured r4, tests/test_block_cholesky.py
+    # ``test_skc_upper_bound_adversarial``: colliding inducing points →
+    # near-singular K̂, σ² ∈ {1e-2, 1e-4, 1e-6}): at the default 10 CG steps
+    # the bound holds with margins +0.04 / +388 / +6.9e4; at 20+ steps the
+    # inner quadratic CONVERGES and the bound is VIOLATED by −13.8 (σ²=1e-4)
+    # to −3019 (σ²=1e-6) — exactly the undershoot the theory above predicts.
+    # Guidance: keep num_iters ≤ 10 (the reference's own budget); more inner
+    # iterations make the "upper bound" tighter only until they break it.
     data_fit_upper = quad(alpha)
     complexity = -0.5 * nystroem_logdet(state, n)
     return data_fit_upper + complexity - 0.5 * n * LOG_2PI

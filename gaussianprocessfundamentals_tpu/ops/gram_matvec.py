@@ -73,6 +73,47 @@ def streamed_gram_matvec(
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "block"))
+def gram_matvec_cross(
+    kernel, params: Any, x1: jnp.ndarray, x2: jnp.ndarray, V: jnp.ndarray,
+    block: int = 2048,
+) -> jnp.ndarray:
+    """K(x1, x2) @ V; x1: [n1, d], x2: [n2, d], V: [n2, r] → [n1, r].
+
+    The rectangular form of :func:`gram_matvec` — the unit of work of the
+    mesh-sharded matvec (each chip owns an x1-row panel). Routes to the fused
+    Pallas cross tiles when supported, else streams [block, n2] panels.
+    """
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+        fused_matvec_cross_for,
+    )
+
+    fused = fused_matvec_cross_for(kernel, params, x1, x2)
+    if fused is not None:
+        return fused(V)
+    return streamed_gram_matvec_cross(kernel, params, x1, x2, V, block)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "block"))
+def streamed_gram_matvec_cross(
+    kernel, params: Any, x1: jnp.ndarray, x2: jnp.ndarray, V: jnp.ndarray,
+    block: int = 2048,
+) -> jnp.ndarray:
+    """XLA row-panel fallback for :func:`gram_matvec_cross`."""
+    n = x1.shape[0]
+    blk = min(block, max(n, 1))
+    xp, nb, pad = _pad_rows(x1, blk)
+    x_blocks = xp.reshape(nb, blk, x1.shape[-1])
+
+    @jax.checkpoint
+    def one(xb):
+        Kb = kernel.gram(params, xb, x2)  # [blk, n2]
+        return jnp.matmul(Kb, V, precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.map(one, x_blocks)  # [nb, blk, r]
+    return out.reshape(nb * blk, -1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "block"))
 def gram_diag_sum(kernel, params: Any, x: jnp.ndarray, block: int = 8192) -> jnp.ndarray:
     """tr(K) without the matrix."""
     return jnp.sum(kernel.diag(params, x))
@@ -98,6 +139,37 @@ def lowrank_gram_vjp(
         def one(args):
             xb, ub = args
             Kb = kernel.gram(p, xb, x)  # [block, n]
+            cot_b = jnp.matmul(ub, W.T, precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum(Kb * cot_b)
+
+        return jnp.sum(jax.lax.map(one, (x_blocks, U_blocks)))
+
+    return jax.grad(total)(params)
+
+
+def lowrank_gram_vjp_cross(
+    kernel, params: Any, x1: jnp.ndarray, x2: jnp.ndarray,
+    U: jnp.ndarray, W: jnp.ndarray, block: int = 2048,
+):
+    """∂/∂params of Σ_ij (U Wᵀ)_ij K(x1, x2)_ij, streamed in x1-row blocks.
+
+    The rectangular form of :func:`lowrank_gram_vjp`: U rides with x1's rows
+    ([n1, r]), W with x2's ([n2, r]). This is the per-chip unit of the
+    mesh-sharded gradient (each chip owns an (x-rows, U-rows) panel and psums
+    the resulting parameter gradients).
+    """
+    n = x1.shape[0]
+    blk = min(block, max(n, 1))
+    xp, nb, pad = _pad_rows(x1, blk)
+    x_blocks = xp.reshape(nb, blk, x1.shape[-1])
+    Up, _, _ = _pad_rows(U, blk)
+    U_blocks = Up.reshape(nb, blk, U.shape[-1])
+
+    def total(p):
+        @jax.checkpoint
+        def one(args):
+            xb, ub = args
+            Kb = kernel.gram(p, xb, x2)  # [blk, n2]
             cot_b = jnp.matmul(ub, W.T, precision=jax.lax.Precision.HIGHEST)
             return jnp.sum(Kb * cot_b)
 

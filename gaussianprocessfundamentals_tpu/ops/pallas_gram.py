@@ -235,44 +235,49 @@ def _mv_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, v_ref, scal_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "interpret"))
-def fused_gram_matvec(
-    x: jnp.ndarray,
+def fused_gram_matvec_cross(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
     V: jnp.ndarray,
     lengthscale,
     variance=1.0,
     kind: str = "se",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """K(x, x) @ V with K tiles computed in VMEM and never written to HBM.
+    """K(x1, x2) @ V with K tiles computed in VMEM and never written to HBM.
 
-    x: [n, d], V: [n, r] → [n, r]. f32. ``kind`` ∈ {"se", "mat32", "mat52"}
-    (Matérn in the Euclidean-distance form — coincides with the reference's
-    Manhattan variant at d=1, ``BaseKernels.py:702-720``). Inputs are padded
-    to tile multiples; V's pad rows are zero so out-of-range columns
-    contribute nothing, and pad OUTPUT rows are sliced off.
+    x1: [n1, d], x2: [n2, d], V: [n2, r] → [n1, r]. f32. ``kind`` ∈ {"se",
+    "mat32", "mat52"} (Matérn in the Euclidean-distance form — coincides with
+    the reference's Manhattan variant at d=1, ``BaseKernels.py:702-720``).
+    Inputs are padded to tile multiples; V's pad rows are zero so
+    out-of-range columns contribute nothing, and pad OUTPUT rows are sliced
+    off. The rectangular form is what the mesh-sharded matvec needs: each
+    chip contracts its x-row panel against the full x (SURVEY §2.9 SP row).
     """
-    x = x.astype(jnp.float32)
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
     V = V.astype(jnp.float32)
     vec = V.ndim == 1
     if vec:
         V = V[:, None]
-    n, d = x.shape
+    n, d = x1.shape
+    m = x2.shape[0]
     r = V.shape[1]
-    B = max(MV_BM, MV_BN)
-    npad = -(-n // B) * B
+    npad = -(-n // MV_BM) * MV_BM
+    mpad = -(-m // MV_BN) * MV_BN
     if npad != n:
-        x_p = jnp.concatenate([x, jnp.zeros((npad - n, d), x.dtype)], 0)
-        V_p = jnp.concatenate([V, jnp.zeros((npad - n, r), V.dtype)], 0)
-    else:
-        x_p, V_p = x, V
-    x2t = x_p.T
-    n1 = jnp.sum(x_p * x_p, axis=-1, keepdims=True)
-    n2 = n1.T
+        x1 = jnp.concatenate([x1, jnp.zeros((npad - n, d), x1.dtype)], 0)
+    if mpad != m:
+        x2 = jnp.concatenate([x2, jnp.zeros((mpad - m, d), x2.dtype)], 0)
+        V = jnp.concatenate([V, jnp.zeros((mpad - m, r), V.dtype)], 0)
+    x2t = x2.T
+    n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+    n2 = jnp.sum(x2 * x2, axis=-1)[None, :]
     scal = jnp.stack([
         jnp.asarray(lengthscale, jnp.float32),
         jnp.asarray(variance, jnp.float32),
     ])
-    grid = (npad // MV_BM, npad // MV_BN)
+    grid = (npad // MV_BM, mpad // MV_BN)
     kernel = functools.partial(_mv_kernel, kind=kind)
     out = pl.pallas_call(
         kernel,
@@ -289,14 +294,29 @@ def fused_gram_matvec(
         out_specs=pl.BlockSpec((MV_BM, r), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * npad * npad * (d + r) + 8 * npad * npad,
-            bytes_accessed=4 * (npad * d + 2 * npad * r) * (npad // MV_BN),
-            transcendentals=npad * npad,
+            flops=2 * npad * mpad * (d + r) + 8 * npad * mpad,
+            bytes_accessed=4 * (npad * d + mpad * d + npad * r + mpad * r)
+            * (mpad // MV_BN),
+            transcendentals=npad * mpad,
         ),
         interpret=interpret,
-    )(x_p, x2t, n1, n2, V_p, scal)
+    )(x1, x2t, n1, n2, V, scal)
     out = out[:n]
     return out[:, 0] if vec else out
+
+
+def fused_gram_matvec(
+    x: jnp.ndarray,
+    V: jnp.ndarray,
+    lengthscale,
+    variance=1.0,
+    kind: str = "se",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """K(x, x) @ V — square form of :func:`fused_gram_matvec_cross`."""
+    return fused_gram_matvec_cross(
+        x, x, V, lengthscale, variance, kind=kind, interpret=interpret
+    )
 
 
 # ---- fused low-rank-cotangent gradient: one pass, analytic ∂K/∂θ ------------
@@ -334,9 +354,14 @@ def _lrvjp_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, u_ref, w_ref, scal_ref,
         else:  # mat52: k = var(1+f+f²/3)e⁻ᶠ, ∂k/∂ls = var·f²(1+f)e⁻ᶠ/(3ls)
             k = var * (1.0 + f + f * f / 3.0) * e
             dls = var * f * f * (1.0 + f) * e / (3.0 * ls)
-    # partial sums land in lanes [0,0] (g_ls) and [0,1] (g_var) of one
-    # (8, 128) accumulator block — TPU requires (8,128)-aligned output tiles,
-    # and the sequential grid makes += across iterations well-defined
+    # partial sums land in lanes [0,0] (g_ls) and [0,1] (g_var) of THIS ROW
+    # BLOCK's (8, 128) accumulator — one accumulator per row block i, summed
+    # afterwards in XLA (a single global f32 accumulator across all (n/B)²
+    # sequential grid steps loses digits at n=100k: ~4e4 adds of large
+    # partials; per-row-block keeps each chain to n/B adds). TPU requires
+    # (8,128)-aligned output tiles; the sequential grid makes += across the
+    # j-iterations of one row block well-defined.
+    del i
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     on_row = rows == 0
@@ -346,20 +371,19 @@ def _lrvjp_kernel(x1_ref, x2t_ref, n1_ref, n2_ref, u_ref, w_ref, scal_ref,
         jnp.logical_and(on_row, cols == 1), jnp.sum(cot * k) / var, 0.0
     )
 
-    first = jnp.logical_and(i == 0, j == 0)
-
-    @pl.when(first)
+    @pl.when(j == 0)
     def _():
         o_ref[:] = part
 
-    @pl.when(jnp.logical_not(first))
+    @pl.when(j > 0)
     def _():
         o_ref[:] += part
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "interpret"))
-def fused_lowrank_vjp(
-    x: jnp.ndarray,
+def fused_lowrank_vjp_cross(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
     U: jnp.ndarray,
     W: jnp.ndarray,
     lengthscale,
@@ -367,33 +391,41 @@ def fused_lowrank_vjp(
     kind: str = "se",
     interpret: bool = False,
 ):
-    """(g_lengthscale, g_variance) of Σ_ij (U Wᵀ)_ij K_ij(θ) in ONE tiled
-    pass with analytic in-tile derivatives. x: [n, d], U/W: [n, r]. f32.
-    ``g_variance`` is Σ cot·K/var (valid whether or not the kernel carries a
-    variance parameter — callers of unscaled kernels just drop it)."""
-    x = x.astype(jnp.float32)
+    """(g_lengthscale, g_variance) of Σ_ij (U Wᵀ)_ij K(x1, x2)_ij(θ) in ONE
+    tiled pass with analytic in-tile derivatives. x1: [n1, d], x2: [n2, d],
+    U: [n1, r], W: [n2, r]. f32. ``g_variance`` is Σ cot·K/var (valid whether
+    or not the kernel carries a variance parameter — callers of unscaled
+    kernels just drop it). The rectangular form serves the mesh-sharded
+    gradient: each chip contracts its (x-rows, U-rows) panel against the full
+    (x, W) and psums the resulting scalars."""
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
     U = U.astype(jnp.float32)
     W = W.astype(jnp.float32)
-    n, d = x.shape
+    n, d = x1.shape
+    m = x2.shape[0]
     r = U.shape[1]
-    B = max(MV_BM, MV_BN)
-    npad = -(-n // B) * B
+    npad = -(-n // MV_BM) * MV_BM
+    mpad = -(-m // MV_BN) * MV_BN
     if npad != n:
         pad = npad - n
-        x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)], 0)
+        x1 = jnp.concatenate([x1, jnp.zeros((pad, d), x1.dtype)], 0)
         U = jnp.concatenate([U, jnp.zeros((pad, r), U.dtype)], 0)
+    if mpad != m:
+        pad = mpad - m
+        x2 = jnp.concatenate([x2, jnp.zeros((pad, d), x2.dtype)], 0)
         W = jnp.concatenate([W, jnp.zeros((pad, r), W.dtype)], 0)
-    x2t = x.T
-    n1 = jnp.sum(x * x, axis=-1, keepdims=True)
-    n2 = n1.T
+    x2t = x2.T
+    n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+    n2 = jnp.sum(x2 * x2, axis=-1)[None, :]
     scal = jnp.stack([
         jnp.asarray(lengthscale, jnp.float32),
         jnp.asarray(variance, jnp.float32),
     ])
-    gi, gj = npad // MV_BM, npad // MV_BN
+    gi, gj = npad // MV_BM, mpad // MV_BN
     out = pl.pallas_call(
         functools.partial(_lrvjp_kernel, kind=kind),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gi * 8, 128), jnp.float32),
         grid=(gi, gj),
         in_specs=[
             pl.BlockSpec((MV_BM, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -404,16 +436,35 @@ def fused_lowrank_vjp(
             pl.BlockSpec((MV_BN, r), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+        out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * npad * npad * (d + r) + 12 * npad * npad,
-            bytes_accessed=4 * (npad * d + 2 * npad * r) * gj,
-            transcendentals=npad * npad,
+            flops=2 * npad * mpad * (d + r) + 12 * npad * mpad,
+            bytes_accessed=4 * (npad * d + mpad * d + npad * r + mpad * r) * gj,
+            transcendentals=npad * mpad,
         ),
         interpret=interpret,
-    )(x, x2t, n1, n2, U, W, scal)
-    return out[0, 0], out[0, 1]
+    )(x1, x2t, n1, n2, U, W, scal)
+    # reduce the per-row-block partials (one (8,128) slab per row block, data
+    # in row 0 lanes 0/1) in XLA
+    part = out.reshape(gi, 8, 128)[:, 0, :2]
+    g = jnp.sum(part, axis=0)
+    return g[0], g[1]
+
+
+def fused_lowrank_vjp(
+    x: jnp.ndarray,
+    U: jnp.ndarray,
+    W: jnp.ndarray,
+    lengthscale,
+    variance=1.0,
+    kind: str = "se",
+    interpret: bool = False,
+):
+    """Square (x1 = x2 = x) form of :func:`fused_lowrank_vjp_cross`."""
+    return fused_lowrank_vjp_cross(
+        x, x, U, W, lengthscale, variance, kind=kind, interpret=interpret
+    )
 
 
 def _fused_kind_for(kernel, params, x):
@@ -450,7 +501,11 @@ def fused_lowrank_vjp_for(kernel, params, x, interpret: bool = False):
         return None
     kind = _fused_kind_for(kernel, params, x)
     if kind is None:
-        return None
+        from gaussianprocessfundamentals_tpu.ops.pallas_expr import (
+            expr_lowrank_vjp_for,
+        )
+
+        return expr_lowrank_vjp_for(kernel, params, x, interpret=interpret)
     scaled = getattr(kernel, "scaled", False)
     if scaled and "variance" not in params:
         return None
@@ -460,6 +515,58 @@ def fused_lowrank_vjp_for(kernel, params, x, interpret: bool = False):
     def vjp(U, W):
         g_ls, g_var = fused_lowrank_vjp(x, U, W, ls, var, kind=kind,
                                         interpret=interpret)
+        out = {"lengthscale": g_ls.astype(jnp.result_type(ls))}
+        if scaled:
+            out["variance"] = g_var.astype(jnp.result_type(ls))
+        return out
+
+    return vjp
+
+
+def fused_matvec_cross_for(kernel, params, x1, x2, interpret: bool = False):
+    """Return a ``V -> K(x1,x2)@V`` closure using
+    :func:`fused_gram_matvec_cross` when supported, else the composite
+    in-tile AST engine (``pallas_expr``), else None."""
+    if not (interpret or on_tpu()):
+        return None
+    kind = _fused_kind_for(kernel, params, x1)
+    if kind is None:
+        from gaussianprocessfundamentals_tpu.ops.pallas_expr import (
+            expr_matvec_cross_for,
+        )
+
+        return expr_matvec_cross_for(kernel, params, x1, x2,
+                                     interpret=interpret)
+    ls = params["lengthscale"]
+    var = params.get("variance", 1.0)
+    return lambda V: fused_gram_matvec_cross(x1, x2, V, ls, var, kind=kind,
+                                             interpret=interpret)
+
+
+def fused_lowrank_vjp_cross_for(kernel, params, x1, x2,
+                                interpret: bool = False):
+    """Return ``(U, W) -> grad_params_dict`` for the rectangular cotangent
+    Σ_ij (U Wᵀ)_ij K(x1, x2)_ij when supported, else None."""
+    if not (interpret or on_tpu()):
+        return None
+    kind = _fused_kind_for(kernel, params, x1)
+    if kind is None:
+        from gaussianprocessfundamentals_tpu.ops.pallas_expr import (
+            expr_lowrank_vjp_cross_for,
+        )
+
+        return expr_lowrank_vjp_cross_for(kernel, params, x1, x2,
+                                          interpret=interpret)
+    scaled = getattr(kernel, "scaled", False)
+    if scaled and "variance" not in params:
+        return None
+    ls = params["lengthscale"]
+    var = params.get("variance", 1.0)
+
+    def vjp(U, W):
+        g_ls, g_var = fused_lowrank_vjp_cross(
+            x1, x2, U, W, ls, var, kind=kind, interpret=interpret
+        )
         out = {"lengthscale": g_ls.astype(jnp.result_type(ls))}
         if scaled:
             out["variance"] = g_var.astype(jnp.result_type(ls))
@@ -481,7 +588,11 @@ def fused_matvec_for(kernel, params, x, interpret: bool = False):
         return None
     kind = _fused_kind_for(kernel, params, x)
     if kind is None:
-        return None
+        from gaussianprocessfundamentals_tpu.ops.pallas_expr import (
+            expr_matvec_for,
+        )
+
+        return expr_matvec_for(kernel, params, x, interpret=interpret)
     ls = params["lengthscale"]
     var = params.get("variance", 1.0)
     return lambda V: fused_gram_matvec(x, V, ls, var, kind=kind,

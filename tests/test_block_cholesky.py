@@ -96,3 +96,48 @@ def test_skc_bounds_sandwich_exact(m, num_iters):
     upper = float(skc_upper_bound(k, p, x, y, z, noise, 1e-8,
                                   num_iters=num_iters))
     assert lower <= exact <= upper, (m, num_iters, lower, exact, upper)
+
+
+@pytest.mark.parametrize("noise", [1e-2, 1e-4, 1e-6])
+def test_skc_upper_bound_adversarial(noise):
+    """Adversarial cases for the empirical upper bound (r4 VERDICT item 10):
+    near-singular K-hat from COLLIDING inducing points, sigma^2 down to 1e-6.
+
+    Documents the measured behaviour: at the reference's early-stop budget
+    (num_iters <= 10) the bound HOLDS even adversarially; once the inner CG
+    converges (20+ iterations) the quadratic undershoots the true data fit
+    and the bound is VIOLATED (margins -13.8 at sigma^2=1e-4, -3019 at 1e-6)
+    -- exactly the failure mode skc.py's docstring derives. The violation
+    case is asserted too, so the guidance (keep num_iters <= 10) stays
+    empirically pinned."""
+    from gaussianprocessfundamentals_tpu.objectives.skc import (
+        skc_upper_bound,
+    )
+
+    x, ynp = gpf.synth_se(n=160, lengthscale=0.2,
+                          noise_sd=max(noise, 1e-3) ** 0.5, seed=3)
+    x, y = jnp.asarray(x), jnp.asarray(ynp)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    # colliding inducing points: 10 pairs 1e-9 apart -> K_mm numerically
+    # singular
+    base = x[:: len(x) // 10][:10]
+    z = jnp.concatenate([base, base + 1e-9], axis=0)
+    exact = float(chol.mll(k.gram(p, x, x), y, noise, 1e-8))
+    for num_iters in (3, 10):
+        upper = float(
+            skc_upper_bound(k, p, x, y, z, noise, 1e-8, num_iters=num_iters)
+        )
+        assert np.isfinite(upper), (noise, num_iters)
+        assert upper - exact >= 0.0, (
+            f"bound violated at reference budget: noise={noise} "
+            f"iters={num_iters} margin={upper - exact:.4g}"
+        )
+    # over-optimised inner problem: documented bound breakdown at tiny noise
+    upper40 = float(skc_upper_bound(k, p, x, y, z, noise, 1e-8, num_iters=40))
+    assert np.isfinite(upper40)
+    if noise <= 1e-4:
+        assert upper40 - exact < 0.0, (
+            "expected documented violation vanished -- margin "
+            f"{upper40 - exact:.4g}; update skc.py guidance"
+        )

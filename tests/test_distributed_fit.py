@@ -25,14 +25,16 @@ def test_distributed_grad_unbiased(key):
     p = {"lengthscale": jnp.asarray(0.25)}
     noise = 0.05
 
-    def exact_nll(p):
-        return chol.nll(k.gram(p, x, x), y, noise, 1e-8)
+    def exact_nll(p, s2):
+        return chol.nll(k.gram(p, x, x), y, s2, 1e-8)
 
-    val_e, g_e = jax.value_and_grad(exact_nll)(p)
+    val_e, (g_e, gn_e) = jax.value_and_grad(exact_nll, argnums=(0, 1))(
+        p, jnp.asarray(noise)
+    )
 
     mesh = single_axis_mesh("tp")
     with mesh:
-        v, (g, _) = distributed_nll_value_and_grad(
+        v, (g, gn) = distributed_nll_value_and_grad(
             k, p, x, y, noise, 1e-8, mesh, key, block=4, probes=16,
         )
     np.testing.assert_allclose(float(v), float(val_e), rtol=1e-8)
@@ -40,6 +42,7 @@ def test_distributed_grad_unbiased(key):
     np.testing.assert_allclose(
         float(g["lengthscale"]), float(g_e["lengthscale"]), rtol=0.02
     )
+    np.testing.assert_allclose(float(gn), float(gn_e), rtol=0.05)
 
 
 def test_fit_distributed_learns(key):

@@ -240,3 +240,44 @@ class TestPivotedCholesky:
         # residual pivots beyond the true rank are f64 round-off (~1e-16
         # diag), so trailing columns are ~√eps-tiny, not necessarily exact 0
         assert np.abs(L[:, 3:]).max() < 1e-6
+
+
+def test_mbcg_one_step_convergence_records_best_iterate():
+    """Regression (r3 advisor, medium): a column converging on the very step
+    where the rz<=0 freeze fires must still record its iterate — with an
+    identity matvec, CG converges exactly in one step; the old gating on the
+    post-rz `done` returned the ZERO solve with resid == ||b||."""
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import mbcg
+
+    rng = np.random.default_rng(5)
+    B = jnp.asarray(rng.standard_normal((16, 3)))
+    for early_exit in (False, True):
+        res = mbcg(lambda V: V, B, max_iters=10, tol=1e-10,
+                   early_exit=early_exit)
+        np.testing.assert_allclose(np.asarray(res.solves), np.asarray(B),
+                                   rtol=1e-12, atol=1e-12)
+        assert np.all(np.asarray(res.resid_norm) < 1e-10)
+
+
+def test_mbcg_transient_excursion_does_not_freeze():
+    """Regression (r3 advisor, low): a single transient residual-2-norm
+    excursion past 4x best must NOT permanently freeze a column; CG on an
+    ill-conditioned SPD system must still converge to its floor."""
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import mbcg
+
+    rng = np.random.default_rng(6)
+    n = 64
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.geomspace(1e-6, 1.0, n)
+    A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+    b = jnp.asarray(rng.standard_normal((n, 1)))
+    res = mbcg(lambda V: A @ V, b, max_iters=400, tol=1e-12)
+    rel = float(res.resid_norm[0]) / float(np.linalg.norm(np.asarray(b)))
+    # unfrozen textbook CG reaches ~5.5e-4 best relative residual on this
+    # system in 400 iterations (measured); the freeze must not do worse than
+    # ~2x that — the old single-excursion freeze stopped at ~6e-3
+    assert rel < 1.5e-3, rel

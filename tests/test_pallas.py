@@ -1,5 +1,6 @@
 """Pallas Gram kernels vs the XLA builder (interpret mode on CPU; the same
 kernels run compiled on TPU — validated by bench/TPU smoke runs)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -80,12 +81,25 @@ def test_fused_matvec_for_dispatch():
     assert fused_matvec_for(gpf.SquaredExponentialKernel(), p, x1,
                             interpret=True) is not None
     assert fused_matvec_for(gpf.Matern52Kernel(), p, x1, interpret=True) is not None
-    # Matérn d>1 is Manhattan in the reference — must NOT route to Euclidean tiles
-    assert fused_matvec_for(gpf.Matern52Kernel(), p, x3, interpret=True) is None
-    # composite kernels fall back
+    # Matérn d>1 is Manhattan in the reference — the scalar-kind Euclidean
+    # tiles must not serve it, but since r4 the expr AST engine (exact
+    # per-dim Manhattan) DOES: it must route AND match the XLA oracle
+    mv3 = fused_matvec_for(gpf.Matern52Kernel(), p, x3, interpret=True)
+    assert mv3 is not None
+    V3 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((64, 2)), jnp.float32
+    )
+    want3 = jnp.matmul(
+        gpf.Matern52Kernel().gram(p, x3, x3), V3,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mv3(V3)), np.asarray(want3), rtol=2e-5, atol=2e-5
+    )
+    # composite kernels route through the expr engine too (r4)
     comp = gpf.SquaredExponentialKernel() + gpf.LinearKernel()
     cp = comp.init_params([[0.0, 1.0]], 64)
-    assert fused_matvec_for(comp, cp, x1, interpret=True) is None
+    assert fused_matvec_for(comp, cp, x1, interpret=True) is not None
     # off-TPU (no interpret): no routing
     assert fused_matvec_for(gpf.SquaredExponentialKernel(), p, x1) is None
 
@@ -136,6 +150,8 @@ def test_fused_lowrank_vjp_dispatch():
     p = {"lengthscale": jnp.float32(0.3)}
     assert fused_lowrank_vjp_for(gpf.SquaredExponentialKernel(), p, x3,
                                  interpret=True) is not None
+    # Matérn d>1 routes through the expr AST engine since r4 (exact per-dim
+    # Manhattan; correctness covered by test_pallas_expr + the on-TPU gate)
     assert fused_lowrank_vjp_for(gpf.Matern32Kernel(), p, x3,
-                                 interpret=True) is None
+                                 interpret=True) is not None
     assert fused_lowrank_vjp_for(gpf.SquaredExponentialKernel(), p, x1) is None
