@@ -121,7 +121,7 @@ def main() -> None:
     from gaussianprocessfundamentals_tpu.means.functions import ZeroMean
 
     nll_fn = make_nll(kernel, ZeroMean(), x, y, optimize_noise=False,
-                      noise=noise)
+                      fixed_noise=noise)
     u0 = {
         "kernel": unconstrain(kernel.positivity(), params),
         "mean": {},
@@ -148,7 +148,7 @@ def main() -> None:
                 "vs_baseline": round(t_cpu / wall_ms, 1),
                 "device_ms": round(device_ms, 1),
                 "dense_wall_ms": round(dense_wall_ms, 1),
-                "path": "iterative(mbcg+slq, pivchol-256, fused-pallas)",
+                "path": "iterative(mbcg+slq, pivchol-256, streamed-xla matvec + fused vjp)",
             }
         )
     )

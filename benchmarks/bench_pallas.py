@@ -14,7 +14,11 @@ Run: python benchmarks/bench_pallas.py  (TPU; ~min for first compiles)
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

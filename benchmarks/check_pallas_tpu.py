@@ -302,6 +302,56 @@ def run_checks(quick: bool = False, interpret: bool = False):
         )
         checks.append(("expr_vjp_mauna", err, 3e-3, err < 3e-3))
 
+    # --- preconditioned-CG health at scale (r4 regression gate): at n=50k,
+    # ℓ=range/10, σ²=1e-2, the single-projection P⁻¹ made rᵀP⁻¹r NEGATIVE on
+    # the first CG step (f32 matmul-rounding range contamination × sv²
+    # amplification) and every solve froze at relative residual exactly 1.0
+    # — a failure only real-chip rounding exhibits at this n. The
+    # twice-is-enough complement projection must keep solves converging. --
+    if not quick:
+        from gaussianprocessfundamentals_tpu.linalg.mbcg import mbcg
+        from gaussianprocessfundamentals_tpu.models.iterative import (
+            build_preconditioner,
+        )
+        from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
+            gram_matvec,
+        )
+
+        np_ = 50_000
+        xp_ = mk(np_, 1)
+        yp_ = jnp.asarray(
+            np.sin(8 * np.asarray(xp_)[:, 0])
+            + 0.1 * rng.standard_normal(np_),
+            jnp.float32,
+        )
+        kp_ = gpf.SquaredExponentialKernel()
+        pp_ = {"lengthscale": jnp.float32(0.1)}
+        noise_ = jnp.float32(0.01)
+
+        @jax.jit
+        def pcg_health():
+            P_inv, W_b, sv, d_rng, _ = build_preconditioner(
+                kp_, pp_, xp_, 256, noise_
+            )
+            import jax.random as jrr
+
+            ku, kw = jrr.split(jrr.PRNGKey(0))
+            u = jrr.normal(ku, (np_, 4), jnp.float32)
+            w = jrr.normal(kw, (256, 4), jnp.float32)
+            z = jnp.sqrt(noise_) * u + jnp.matmul(
+                W_b, sv[:, None] * w,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            B = jnp.concatenate([yp_[:, None], z], axis=1)
+            mv = lambda V: gram_matvec(kp_, pp_, xp_, V, 4096) + noise_ * V
+            res = mbcg(mv, B, max_iters=30, tol=3e-3, precond=P_inv,
+                       early_exit=True)
+            return res.resid_norm / jnp.linalg.norm(B, axis=0)
+
+        rel = jax.device_get(pcg_health())
+        err = float(np.max(np.asarray(rel)))
+        checks.append(("pcg_precond_50k", err, 0.05, err < 0.05))
+
     # --- WhiteNoise coincidence on-chip (r3 VERDICT weak #6): duplicated
     # rows must be detected as coincident in f32 on the real rounding path --
     xw = mk(256, 3)

@@ -61,6 +61,89 @@ def _cot_vjp(kernel, kernel_params, x, U, W, block, dense_gram_vjp, hp,
     return lowrank_gram_vjp(kernel, kernel_params, x, U, W, block)
 
 
+def build_preconditioner(kernel, kernel_params, x, m: int, noise,
+                         shard_rows=None):
+    """Rank-m pivoted-Cholesky preconditioner P = σ²I + AAᵀ in f32-SOUND
+    applied form. Returns ``(P_inv, W_b, sv, d_rng, log_P)``.
+
+    Rank-m PARTIAL PIVOTED CHOLESKY factor (GPyTorch preconditioner,
+    ``linalg/pivchol.py``): shift-free and inverse-free. The previous inline
+    Nyström (A = K_nm·L_mm⁻ᵀ with jittered K_mm) was measured r3 to be
+    numerically unsound in f32 at n/m ≳ 100 — its ε-bias made PCG stall at
+    ~0.7 relative residual where σ²I-only CG reached 0.1.
+
+    f32-SOUND APPLICATION (r3 campaign + r4 fix): the plain Woodbury
+    P⁻¹V = (V − A·core⁻¹AᵀV)/σ² subtracts two O(‖V‖) terms whose difference
+    is O(σ²/λmax)·‖V‖ — round-off noise once λmax/σ² ≳ 1e⁵. Ingredients:
+      1. thin QR A = Q·Rr with ONE Newton orthonormalisation step
+         (raw f32 QR leaves ‖QᵀQ−I‖ ≈ 6e-5, amplified ×1/σ²);
+      2. one-sided Jacobi SVD Rr = Ur·diag(sv)·Vᵀ — never squares the
+         spectrum, so σ-scale singular values keep RELATIVE accuracy;
+      3. projector form on W = Q·Ur:
+           P⁻¹V = (V − W(WᵀV))/σ² + W·diag(1/(sv²+σ²))·WᵀV
+         cancelling BEFORE the 1/σ² amplification, with the complement
+         projection applied TWICE ("twice is enough", Kahan; r4): the
+         single-projection complement carries f32 matmul-rounding
+         contamination ~eps·√n·‖V‖ in range(W) directions — the same size
+         as the TRUE range output ‖V‖·σ²/sv² once sv²/σ² ≳ 1e4, and K then
+         amplifies that range error by sv², so the first preconditioned CG
+         step overshoots ~5׉b‖, rz = rᵀP⁻¹r goes NEGATIVE, and every
+         column freezes at iteration 0 (returned solve = 0, relative resid
+         exactly 1.0 — this shipped in r3, masked by the resid guard).
+         Measured on-chip at n=50k, ℓ=range/10, σ²=1e-2: resid 1.0 → 4e-6.
+    Dead pivoted-Cholesky tail columns (sv = 0) need no special case: their
+    range coefficient equals the complement's 1/σ².
+    """
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import jacobi_svd_small
+    from gaussianprocessfundamentals_tpu.linalg.pivchol import (
+        partial_pivoted_cholesky,
+    )
+
+    if shard_rows is None:
+        shard_rows = lambda a: a
+    n = x.shape[0]
+    noise = jnp.asarray(noise, x.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    A = partial_pivoted_cholesky(kernel, kernel_params, x, m)  # P=σ²I+AAᵀ
+    A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
+    Q, Rr = jnp.linalg.qr(A)  # Q [n, m], Rr [m, m]
+    QtQ = jnp.matmul(Q.T, Q, precision=hp)
+    Q = jnp.matmul(
+        Q, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * QtQ, precision=hp
+    )
+    Ur, sv, _ = jacobi_svd_small(Rr)
+    # singular values with sv² ≤ 1e-3·σ² contribute ≤ 0.1% to the range
+    # coefficient — zero them and their (f32-unresolved, possibly
+    # non-orthogonal) basis columns: they fall back to the complement's
+    # exact 1/σ² behaviour
+    keep = sv * sv > 1e-3 * noise
+    sv = jnp.where(keep, sv, 0.0)
+    Ur = Ur * keep[None, :].astype(Ur.dtype)
+    W_b = jnp.matmul(Q, Ur, precision=hp)  # [n, m] ~orthonormal
+    # two Newton orthonormalisation passes on the final basis (quadratic
+    # for small error): the projector term amplifies any ‖WᵀW−I‖ by 1/σ²
+    for _ in range(2):
+        WtW = jnp.matmul(W_b.T, W_b, precision=hp)
+        W_b = jnp.matmul(
+            W_b, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * WtW, precision=hp
+        )
+    W_b = shard_rows(W_b)
+    d_rng = 1.0 / (sv * sv + noise)  # [m]
+
+    def P_inv(V):
+        vec = V.ndim == 1
+        Vm = V[:, None] if vec else V
+        c = jnp.matmul(W_b.T, Vm, precision=hp)  # [m, r]
+        comp = Vm - jnp.matmul(W_b, c, precision=hp)
+        c2 = jnp.matmul(W_b.T, comp, precision=hp)  # twice-is-enough
+        comp = (comp - jnp.matmul(W_b, c2, precision=hp)) / noise
+        out = comp + jnp.matmul(W_b, d_rng[:, None] * c, precision=hp)
+        return out[:, 0] if vec else out
+
+    log_P = (n - m) * jnp.log(noise) + jnp.sum(jnp.log(sv * sv + noise))
+    return P_inv, W_b, sv, d_rng, log_P
+
+
 def _core_impl(
     kernel,
     kernel_params: Any,
@@ -117,8 +200,9 @@ def _core_impl(
     # below ~40k (f32) K fits in HBM: build it once outside the CG loop and
     # use plain matmuls (deterministic; above, stream row panels per matvec —
     # K never exists, at the price of rebuilding Gram tiles each iteration).
-    # ``materialize=False`` forces the streaming/fused-Pallas path (A/B knob:
-    # recomputing tiles in VMEM can beat re-READING a resident K from HBM).
+    # ``materialize=False`` forces the streaming path (A/B knob: recomputing
+    # panels fused with their consumer beats re-READING a resident K from
+    # HBM only above the HBM roofline crossover).
     # Under a MESH the default is the sharded STREAMING path
     # (``parallel.mesh_matvec``): per-chip memory O(n·(d+r)) instead of the
     # O(n²/P) resident row panels that made N=200k unreachable on a v5e-8
@@ -153,71 +237,9 @@ def _core_impl(
 
     if precond_m > 0:
         m = min(precond_m, n)
-        # rank-m PARTIAL PIVOTED CHOLESKY factor (GPyTorch preconditioner,
-        # linalg/pivchol.py): shift-free and inverse-free. The previous
-        # inline Nyström (A = K_nm·L_mm⁻ᵀ with jittered K_mm) was measured
-        # r3 to be numerically unsound in f32 at n/m ≳ 100 — its ε-bias made
-        # PCG stall at ~0.7 relative residual where σ²I-only CG reached 0.1
-        from gaussianprocessfundamentals_tpu.linalg.pivchol import (
-            partial_pivoted_cholesky,
+        P_inv, W_b, sv, d_rng, log_P = build_preconditioner(
+            kernel, kernel_params, x, m, noise, shard_rows
         )
-
-        A = partial_pivoted_cholesky(kernel, kernel_params, x, m)  # P=σ²I+AAᵀ
-        A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
-        hp = jax.lax.Precision.HIGHEST
-        # f32-SOUND PRECONDITIONER APPLICATION (r3 measurement campaign):
-        # the plain Woodbury P⁻¹V = (V − A·core⁻¹AᵀV)/σ² subtracts two
-        # O(‖V‖) terms whose difference is O(σ²/λmax)·‖V‖ — round-off noise
-        # once λmax/σ² ≳ 1e⁵ (‖P·P⁻¹v − v‖ measured up to 2.25 at n=50k).
-        # Three ingredients fix it without leaving f32:
-        #   1. thin QR A = Q·Rr, with ONE Newton orthonormalisation step
-        #      Q ← Q(3I − QᵀQ)/2 (raw f32 QR leaves ‖QᵀQ−I‖ ≈ 6e-5, which
-        #      the 1/σ² term amplifies into the dominant error);
-        #   2. one-sided Jacobi SVD Rr = Ur·diag(sv)·Vᵀ — never squares the
-        #      spectrum, so the σ-scale singular values keep RELATIVE
-        #      accuracy (a Cholesky of σ²I + RrRrᵀ at κ ≈ λmax/σ² loses
-        #      them to eps·λmax absolute error);
-        #   3. projector form on the orthonormal basis W = Q·Ur:
-        #         P⁻¹V = (V − W(WᵀV))/σ² + W·diag(1/(sv²+σ²))·WᵀV
-        #      which cancels BEFORE the 1/σ² amplification and applies the
-        #      range part through a perfectly conditioned diagonal.
-        # Dead pivoted-Cholesky tail columns (sv = 0) need no special case:
-        # their range coefficient equals the complement's 1/σ².
-        from gaussianprocessfundamentals_tpu.linalg.mbcg import jacobi_svd_small
-
-        Q, Rr = jnp.linalg.qr(A)  # Q [n, m], Rr [m, m]
-        QtQ = jnp.matmul(Q.T, Q, precision=hp)
-        Q = jnp.matmul(
-            Q, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * QtQ, precision=hp
-        )
-        Ur, sv, _ = jacobi_svd_small(Rr)
-        # singular values with sv² ≤ 1e-3·σ² contribute ≤ 0.1% to the range
-        # coefficient — zero them and their (f32-unresolved, possibly
-        # non-orthogonal) basis columns: they fall back to the complement's
-        # exact 1/σ² behaviour
-        keep = sv * sv > 1e-3 * noise
-        sv = jnp.where(keep, sv, 0.0)
-        Ur = Ur * keep[None, :].astype(Ur.dtype)
-        W_b = jnp.matmul(Q, Ur, precision=hp)  # [n, m] ~orthonormal
-        # two Newton orthonormalisation passes on the final basis (quadratic
-        # for small error): the projector term amplifies any ‖WᵀW−I‖ by 1/σ²
-        for _ in range(2):
-            WtW = jnp.matmul(W_b.T, W_b, precision=hp)
-            W_b = jnp.matmul(
-                W_b, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * WtW, precision=hp
-            )
-        W_b = shard_rows(W_b)
-        d_rng = 1.0 / (sv * sv + noise)  # [m]
-
-        def P_inv(V):
-            vec = V.ndim == 1
-            Vm = V[:, None] if vec else V
-            c = jnp.matmul(W_b.T, Vm, precision=hp)  # [m, r]
-            comp = (Vm - jnp.matmul(W_b, c, precision=hp)) / noise
-            out = comp + jnp.matmul(W_b, d_rng[:, None] * c, precision=hp)
-            return out[:, 0] if vec else out
-
-        log_P = (n - m) * jnp.log(noise) + jnp.sum(jnp.log(sv * sv + noise))
         # z ~ N(0, P): cov(σu + W·diag(sv)·w) = σ²I + W sv² Wᵀ = P
         u = jr.normal(key_u, (n, s), x.dtype)
         w = jr.normal(key_w, (m, s), x.dtype)

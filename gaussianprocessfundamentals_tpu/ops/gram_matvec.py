@@ -36,19 +36,29 @@ def _pad_rows(x: jnp.ndarray, block: int):
 def gram_matvec(
     kernel, params: Any, x: jnp.ndarray, V: jnp.ndarray, block: int = 2048
 ) -> jnp.ndarray:
-    """K(x,x) @ V; V: [n, r].
+    """K(x,x) @ V; V: [n, r]. K is streamed in [block, n] row panels built
+    on the fly under ``jax.checkpoint`` — XLA fuses the distance +
+    transcendental + contraction so no K panel round-trips HBM.
 
-    On TPU f32 with a supported leaf kernel (SE any d, Matérn d=1) this routes
-    to the fused Pallas tile matvec — K tiles live only in VMEM, cutting HBM
-    traffic from O(n²) per matvec to O(n·(d+r)) (measured r3: the streamed
-    panels were ~80 GB of HBM round trips per matvec at N=100k). Otherwise K
-    is streamed in [block, n] row panels built on the fly.
+    Routing history: r3 routed TPU-f32 leaf kernels to the fused Pallas tile
+    matvec; the r4 routing A/B on the COMPOSED mBCG program (healthy
+    preconditioner, BENCHMARKS.md) measured the streamed XLA path faster
+    (306 vs 342 ms at N=50k, 813 vs 1169 ms at N=100k — both near the VPU
+    transcendental roofline, XLA's exp lowering wins), so streamed is now
+    the default. ``GPF_FORCE_FUSED=1`` restores the Pallas tile route (A/B
+    knob); the fused LOW-RANK VJP remains the gradient default (single
+    fused pass vs ~3 n² autodiff passes).
     """
-    from gaussianprocessfundamentals_tpu.ops.pallas_gram import fused_matvec_for
+    import os
 
-    fused = fused_matvec_for(kernel, params, x)
-    if fused is not None:
-        return fused(V)
+    if os.environ.get("GPF_FORCE_FUSED"):
+        from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+            fused_matvec_for,
+        )
+
+        fused = fused_matvec_for(kernel, params, x)
+        if fused is not None:
+            return fused(V)
     return streamed_gram_matvec(kernel, params, x, V, block)
 
 
@@ -80,16 +90,20 @@ def gram_matvec_cross(
     """K(x1, x2) @ V; x1: [n1, d], x2: [n2, d], V: [n2, r] → [n1, r].
 
     The rectangular form of :func:`gram_matvec` — the unit of work of the
-    mesh-sharded matvec (each chip owns an x1-row panel). Routes to the fused
-    Pallas cross tiles when supported, else streams [block, n2] panels.
+    mesh-sharded matvec (each chip owns an x1-row panel). Streams
+    [block, n2] panels by default (see :func:`gram_matvec` routing note);
+    ``GPF_FORCE_FUSED=1`` restores the fused Pallas cross tiles.
     """
-    from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
-        fused_matvec_cross_for,
-    )
+    import os
 
-    fused = fused_matvec_cross_for(kernel, params, x1, x2)
-    if fused is not None:
-        return fused(V)
+    if os.environ.get("GPF_FORCE_FUSED"):
+        from gaussianprocessfundamentals_tpu.ops.pallas_gram import (
+            fused_matvec_cross_for,
+        )
+
+        fused = fused_matvec_cross_for(kernel, params, x1, x2)
+        if fused is not None:
+            return fused(V)
     return streamed_gram_matvec_cross(kernel, params, x1, x2, V, block)
 
 

@@ -532,7 +532,9 @@ def expr_lowrank_vjp_cross(
 
 
 def _route_ok(kernel, params, x, interpret):
-    if not (interpret or on_tpu()):
+    from gaussianprocessfundamentals_tpu.ops.pallas_gram import fused_disabled
+
+    if fused_disabled() or not (interpret or on_tpu()):
         return False
     if x.dtype != jnp.float32:
         return False

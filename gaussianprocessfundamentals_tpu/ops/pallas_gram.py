@@ -191,6 +191,15 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def fused_disabled() -> bool:
+    """A/B kill switch: set GPF_NO_FUSED=1 to force every router to the
+    streamed-XLA fallback (used by benchmarks to measure routing choices on
+    the real program, not just standalone ops)."""
+    import os
+
+    return bool(os.environ.get("GPF_NO_FUSED"))
+
+
 # ---- fused Gram·V matvec: K tiles live only in VMEM -------------------------
 #
 # The streamed XLA matvec (``ops.gram_matvec``) materialises each [block, n]
@@ -497,7 +506,7 @@ def fused_lowrank_vjp_for(kernel, params, x, interpret: bool = False):
     """Return ``(U, W) -> grad_params_dict`` using :func:`fused_lowrank_vjp`
     when supported (same coverage as :func:`fused_matvec_for`), else None.
     The returned dict mirrors ``params``' structure exactly."""
-    if not (interpret or on_tpu()):
+    if fused_disabled() or not (interpret or on_tpu()):
         return None
     kind = _fused_kind_for(kernel, params, x)
     if kind is None:
@@ -527,7 +536,7 @@ def fused_matvec_cross_for(kernel, params, x1, x2, interpret: bool = False):
     """Return a ``V -> K(x1,x2)@V`` closure using
     :func:`fused_gram_matvec_cross` when supported, else the composite
     in-tile AST engine (``pallas_expr``), else None."""
-    if not (interpret or on_tpu()):
+    if fused_disabled() or not (interpret or on_tpu()):
         return None
     kind = _fused_kind_for(kernel, params, x1)
     if kind is None:
@@ -547,7 +556,7 @@ def fused_lowrank_vjp_cross_for(kernel, params, x1, x2,
                                 interpret: bool = False):
     """Return ``(U, W) -> grad_params_dict`` for the rectangular cotangent
     Σ_ij (U Wᵀ)_ij K(x1, x2)_ij when supported, else None."""
-    if not (interpret or on_tpu()):
+    if fused_disabled() or not (interpret or on_tpu()):
         return None
     kind = _fused_kind_for(kernel, params, x1)
     if kind is None:
@@ -584,7 +593,7 @@ def fused_matvec_for(kernel, params, x, interpret: bool = False):
     low-rank cotangent contraction (``ops.gram_matvec.lowrank_gram_vjp``),
     never by differentiating the CG matvec, so no Pallas VJP is needed.
     """
-    if not (interpret or on_tpu()):
+    if fused_disabled() or not (interpret or on_tpu()):
         return None
     kind = _fused_kind_for(kernel, params, x)
     if kind is None:

@@ -66,8 +66,8 @@ def mesh_gram_matvec(
     sharded over ``axis``.
 
     Each chip computes its K(x_loc, x) panel·V with
-    :func:`..ops.gram_matvec.gram_matvec_cross` (fused Pallas tiles on TPU,
-    streamed XLA panels otherwise). Pad rows (n not divisible by the axis
+    :func:`..ops.gram_matvec.gram_matvec_cross` (streamed checkpointed XLA
+    panels by default; ``GPF_FORCE_FUSED=1`` routes to the Pallas tiles). Pad rows (n not divisible by the axis
     size) multiply V's zero pad rows on the x2 side and are sliced off on the
     x1 side, so results are exact.
     """
