@@ -105,7 +105,11 @@ def bench_iterative_fit(n, steps, dtype):
     t0 = time.perf_counter()
     kp, noise, hist, diag = fit_iterative(
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(0),
-        steps=steps, lr=0.05, num_probes=8, max_iters=50, block=4096,
+        # max_iters 25: post-r4-preconditioner-fix the solves reach ~1e-5
+        # relative residual in ~15 iterations (BENCHMARKS.md r4) — 50 fixed
+        # iterations (no early exit at this scale, see note above) were
+        # paying double for converged-frozen columns
+        steps=steps, lr=0.05, num_probes=8, max_iters=25, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
         scan_chunk=10 if n > 20_000 else 0, resid_guard=0.5,
         return_diagnostics=True,
@@ -116,7 +120,7 @@ def bench_iterative_fit(n, steps, dtype):
     t1 = time.perf_counter()
     _, _, hist2 = fit_iterative(
         gpf.SquaredExponentialKernel(scaled=True), x, y, jr.PRNGKey(1),
-        steps=min(10, steps), lr=0.05, num_probes=8, max_iters=50, block=4096,
+        steps=min(10, steps), lr=0.05, num_probes=8, max_iters=25, block=4096,
         precond_m=256, tol=3e-3, early_exit=n <= 20_000,
         scan_chunk=10 if n > 20_000 else 0, resid_guard=0.5,
     )
@@ -173,44 +177,78 @@ def bench_nuts(n, chains, dtype):
     logprob = lambda u: -nll(u) - 0.5 * sum(
         jnp.sum(l**2) for l in jax.tree_util.tree_leaves(u)
     ) / 9.0
-    q0s = jax.tree_util.tree_map(
-        lambda *l: jnp.stack(l),
-        *[init_uparams(kern, gpf.ZeroMean(), [[0.0, 1.0]], n,
-                       key=jr.PRNGKey(i), optimize_noise=True, dtype=dtype)
-          for i in range(chains)],
-    )
-    num = 100
+    # chains start from the DEFAULT hyperparameters with small unconstrained
+    # jitter (overdispersed-but-in-basin starts). The r4 first measurement
+    # used wide random-in-bounds inits: with 100 warmup the 8 chains never
+    # met (split-R̂ 53!) and the samples/s number was meaningless as
+    # posterior exploration — R̂/ESS now gate the headline.
+    u0 = init_uparams(kern, gpf.ZeroMean(), [[0.0, 1.0]], n,
+                      optimize_noise=True, dtype=dtype)
+    leaves, treedef = jax.tree_util.tree_flatten(u0)
+    ks = jr.split(jr.PRNGKey(42), chains * len(leaves))
+    q0s = jax.tree_util.tree_unflatten(treedef, [
+        jnp.stack([
+            l + 0.1 * jr.normal(ks[c * len(leaves) + i], jnp.shape(l), dtype)
+            for c in range(chains)
+        ])
+        for i, l in enumerate(leaves)
+    ])
+    # 300 warmup / 300 samples per PROGRAM: 500/400 in one program crashes
+    # the axon TPU worker (the large-while-loop program class; same
+    # constraint as the fit scan note). Long chains therefore run as
+    # warmup-once + RESUMED segments with frozen step_size/inv_mass
+    # (nuts_chains_resume) — each segment is a moderate program, and the
+    # concatenated 900 samples/chain give honest R-hat/ESS.
+    num = 300
     t0 = time.perf_counter()
     res = gpf.nuts_chains(logprob, q0s, jr.split(jr.PRNGKey(0), chains),
-                          num_samples=num, num_warmup=100, max_depth=6)
+                          num_samples=num, num_warmup=300, max_depth=6)
     jax.device_get(res.accept_stat)  # honest sync through the async tunnel
     dt = time.perf_counter() - t0
-    # steady state: identical program, compile from cache (r2 VERDICT weak
-    # #7 — the cold number buries sampling throughput under remote compile)
+    seg_samples = [res.samples]
+    accepts = [res.accept_stat]
+    q_last = jax.tree_util.tree_map(lambda l: l[:, -1], res.samples)
     t1 = time.perf_counter()
-    res2 = gpf.nuts_chains(logprob, q0s, jr.split(jr.PRNGKey(1), chains),
-                           num_samples=num, num_warmup=100, max_depth=6)
-    jax.device_get(res2.accept_stat)
-    dt_steady = time.perf_counter() - t1
-    # quality metrics (r4 VERDICT item 9): ESS/s and split-R̂ per scalar
-    # hyperparameter trace — samples/s alone cannot be compared honestly
-    # across sampler configurations
+    n_seg = 4
+    for i in range(n_seg):
+        res2 = gpf.nuts_chains_resume(
+            logprob, q_last, jr.split(jr.PRNGKey(100 + i), chains),
+            num_samples=num, step_sizes=res.step_size,
+            inv_masses=res.inv_mass, max_depth=6,
+        )
+        jax.device_get(res2.accept_stat)
+        seg_samples.append(res2.samples)
+        accepts.append(res2.accept_stat)
+        q_last = jax.tree_util.tree_map(lambda l: l[:, -1], res2.samples)
+    dt_steady = (time.perf_counter() - t1) / n_seg
+    # quality metrics (r4 VERDICT item 9): ESS/s and split-R-hat per scalar
+    # hyperparameter trace over ALL segments — samples/s alone cannot be
+    # compared honestly across sampler configurations
     from gaussianprocessfundamentals_tpu.mcmc.hmc import (
         effective_sample_size,
         potential_scale_reduction,
     )
 
+    total = num * (1 + n_seg)
+    all_samples = jax.tree_util.tree_map(
+        lambda *ls: np.concatenate([np.asarray(l) for l in ls], axis=1),
+        *seg_samples,
+    )
     traces = [
-        np.asarray(l).reshape(chains, num)
-        for l in jax.tree_util.tree_leaves(res2.samples)
+        np.asarray(l).reshape(chains, total)
+        for l in jax.tree_util.tree_leaves(all_samples)
     ]
-    ess = [float(effective_sample_size(jnp.asarray(t))) for t in traces]
+    ess = [float(effective_sample_size(jnp.asarray(t), max_lag=200))
+           for t in traces]
     rhat = [float(potential_scale_reduction(jnp.asarray(t))) for t in traces]
     return {"config": "nuts_matern52", "n": n, "chains": chains,
+            "total_samples_per_chain": total,
             "samples_per_s": round(chains * num / dt, 1),
             "samples_per_s_steady": round(chains * num / dt_steady, 1),
-            "accept": round(float(res.accept_stat.mean()), 2),
-            "min_ess_per_s": round(min(ess) / dt_steady, 1),
+            "accept": round(float(np.mean([np.asarray(a).mean()
+                                           for a in accepts])), 2),
+            "min_ess": round(min(ess), 1),
+            "min_ess_per_s": round(min(ess) / (dt + n_seg * dt_steady), 2),
             "max_rhat": round(max(rhat), 3)}
 
 

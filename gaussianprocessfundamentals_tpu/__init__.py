@@ -92,7 +92,12 @@ from gaussianprocessfundamentals_tpu.models.iterative import (
     iterative_posterior_mean,
 )
 from gaussianprocessfundamentals_tpu.mcmc.hmc import hmc, hmc_chains
-from gaussianprocessfundamentals_tpu.mcmc.nuts import nuts, nuts_chains
+from gaussianprocessfundamentals_tpu.mcmc.nuts import (
+    nuts,
+    nuts_chains,
+    nuts_chains_resume,
+    nuts_resume,
+)
 from gaussianprocessfundamentals_tpu.data.datasets import (
     DataInput,
     MinMaxNormalization,

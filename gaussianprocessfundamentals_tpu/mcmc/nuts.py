@@ -37,6 +37,12 @@ class NUTSResult(NamedTuple):
     num_steps: jnp.ndarray  # [num_samples] leapfrog steps per draw
     diverging: jnp.ndarray  # [num_samples] bool
     log_probs: jnp.ndarray
+    # adapted diagonal inverse mass (flat) — with step_size and the last
+    # sample this makes a chain RESUMABLE (:func:`nuts_resume`): the axon
+    # TPU worker crashes on very large while_loop programs, so long chains
+    # run as warmup-once + resumed segments (also the §5.4 chain-checkpoint
+    # story: persist (last q, step_size, inv_mass) and continue later)
+    inv_mass: Any = None
 
 
 def _popcount(n):
@@ -365,7 +371,65 @@ def nuts(
         sample_step, (q, lp, g), keys_s
     )
     samples = jax.vmap(unravel)(qs)
-    return NUTSResult(samples, accepts, eps, n_steps, divs, lps)
+    return NUTSResult(samples, accepts, eps, n_steps, divs, lps, inv_mass)
+
+
+def nuts_resume(
+    logprob_fn: Callable,
+    q0: Any,
+    key,
+    num_samples: int,
+    step_size,
+    inv_mass,
+    max_depth: int = 8,
+) -> NUTSResult:
+    """Continue a chain from ``q0`` with FROZEN adaptation (``step_size`` /
+    ``inv_mass`` from a prior :func:`nuts` run): no warmup, so segments of a
+    long chain can be produced by repeated calls — each a moderate-size XLA
+    program (the axon worker crashes on very large single programs) — and
+    concatenated for R-hat/ESS. Statistically this is the standard
+    post-adaptation sampling phase split across calls."""
+    q0_flat, unravel = ravel_pytree(q0)
+
+    def lp_flat(qf):
+        return logprob_fn(unravel(qf))
+
+    lpg = jax.value_and_grad(lp_flat)
+    transition = _nuts_kernel(lpg, max_depth)
+    lp0, g0 = lpg(q0_flat)
+    eps = jnp.asarray(step_size, q0_flat.dtype)
+
+    def sample_step(carry, key):
+        q, lp, g = carry
+        q_new, lp_new, accept, n_steps, div = transition(
+            key, q, lp, g, eps, inv_mass
+        )
+        g_new = lpg(q_new)[1]
+        return (q_new, lp_new, g_new), (q_new, accept, n_steps, div, lp_new)
+
+    keys_s = jr.split(key, num_samples)
+    _, (qs, accepts, n_steps, divs, lps) = jax.lax.scan(
+        sample_step, (q0_flat, lp0, g0), keys_s
+    )
+    samples = jax.vmap(unravel)(qs)
+    return NUTSResult(samples, accepts, eps, n_steps, divs, lps, inv_mass)
+
+
+def nuts_chains_resume(
+    logprob_fn: Callable,
+    q0s: Any,
+    keys: jnp.ndarray,
+    num_samples: int,
+    step_sizes,
+    inv_masses,
+    max_depth: int = 8,
+) -> NUTSResult:
+    """Vmapped :func:`nuts_resume` over a leading chain axis."""
+    return jax.vmap(
+        lambda q0, key, eps, im: nuts_resume(
+            logprob_fn, q0, key, num_samples, eps, im, max_depth
+        )
+    )(q0s, keys, step_sizes, inv_masses)
 
 
 def nuts_chains_collective(

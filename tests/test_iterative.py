@@ -216,3 +216,47 @@ def test_fit_iterative_scan_loop_matches_callback_loop(key):
     np.testing.assert_allclose(
         float(kp_s["lengthscale"]), float(kp_c["lengthscale"]), rtol=1e-4
     )
+
+
+def test_build_preconditioner_spd_and_inverse():
+    """P_inv must be SPD and act as P^-1 (P = sigma^2 I + A A^T): rz =
+    v'P^-1 v > 0 even for vectors concentrated in range(W) — the r4 on-chip
+    failure mode (rz < 0 from f32 range contamination) regression-tested
+    here at CPU scale; the n=50k on-chip case is in the TPU gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.linalg.pivchol import (
+        partial_pivoted_cholesky,
+    )
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        build_preconditioner,
+    )
+
+    x, _ = gpf.synth_se(n=800, lengthscale=0.1, noise_sd=0.1, seed=9)
+    x = jnp.asarray(x, jnp.float32)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.1, jnp.float32)}
+    noise = jnp.float32(0.01)
+    m = 64
+    P_inv, W_b, sv, d_rng, log_P = build_preconditioner(k, p, x, m, noise)
+    A = partial_pivoted_cholesky(k, p, x, m)
+    rng_l = np.random.default_rng(3)
+    # adversarial: vectors mostly in range(W) (the amplified direction)
+    v_range = np.asarray(W_b @ (np.asarray(sv) * rng_l.standard_normal(m)),
+                         np.float32)
+    v_rand = rng_l.standard_normal(800).astype(np.float32)
+    for v in (jnp.asarray(v_range), jnp.asarray(v_rand)):
+        piv = P_inv(v)
+        rz = float(jnp.dot(v, piv))
+        assert rz > 0.0, rz
+        # P @ P_inv(v) == v
+        Pv = noise * piv + A @ (A.T @ piv)
+        rel = float(jnp.linalg.norm(Pv - v) / jnp.linalg.norm(v))
+        assert rel < 0.05, rel
+    # logdet consistency vs dense eigendecomposition of P
+    Pd = np.asarray(noise) * np.eye(800, dtype=np.float64) + np.asarray(
+        A, np.float64
+    ) @ np.asarray(A, np.float64).T
+    want = float(np.linalg.slogdet(Pd)[1])
+    np.testing.assert_allclose(float(log_P), want, rtol=1e-3)

@@ -63,3 +63,31 @@ def test_nuts_chains_gp_hyperposterior(key):
     assert 0.02 < ls.mean() < 1.5
     rhat = float(potential_scale_reduction(np.log(ls)))
     assert rhat < 1.45, rhat
+
+
+def test_nuts_resume_continues_chain(key):
+    """Segmented sampling: warmup once, then resumed segments with frozen
+    step_size/inv_mass match a single long run statistically (same target
+    moments), enabling long chains within the TPU worker's program-size
+    limit and chain checkpoint/continue (SURVEY 5.4)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from gaussianprocessfundamentals_tpu.mcmc.nuts import nuts, nuts_resume
+
+    logprob = lambda q: -0.5 * jnp.sum(q["z"] ** 2 / jnp.asarray([1.0, 4.0]))
+    res = nuts(logprob, {"z": jnp.zeros(2)}, key, num_samples=300,
+               num_warmup=200, max_depth=6)
+    q_last = jax.tree_util.tree_map(lambda l: l[-1], res.samples)
+    segs = [res.samples["z"]]
+    for i in range(2):
+        res2 = nuts_resume(logprob, q_last, jr.fold_in(key, 10 + i),
+                           num_samples=300, step_size=res.step_size,
+                           inv_mass=res.inv_mass, max_depth=6)
+        segs.append(res2.samples["z"])
+        q_last = jax.tree_util.tree_map(lambda l: l[-1], res2.samples)
+    z = np.concatenate([np.asarray(s) for s in segs], axis=0)  # [900, 2]
+    assert z.shape == (900, 2)
+    np.testing.assert_allclose(z.mean(0), [0.0, 0.0], atol=0.35)
+    np.testing.assert_allclose(z.std(0), [1.0, 2.0], rtol=0.25)
