@@ -79,16 +79,18 @@ def main() -> None:
     key = jr.PRNGKey(0)
 
     # tol 3e-3 (mBCG's absolute stopping residual; the returned resid is
-    # RELATIVE ~1e-5 at these RHS norms) with early-exit mBCG: the rank-256
-    # pivoted-Cholesky preconditioner converges the solves far under the
-    # 50-iteration cap, and SLQ probe noise — not CG tolerance — dominates
-    # the NLL error (BENCHMARKS.md accuracy row). The _device variant keeps
-    # the SLQ logdet on chip (Jacobi tridiagonal eigensolver): ONE XLA
-    # program, one tunnel round trip per step.
+    # RELATIVE ~1e-5 at these RHS norms) with early-exit mBCG. m=128
+    # preconditioner: the r4 component profile showed the rank-256 build's
+    # Jacobi SVD costing ~111 ms of the 133 ms device step (3060 sequential
+    # [256,256] rotations — op-latency bound) while the kernel's effective
+    # rank at ℓ=0.1 is only ~26; m=128 builds in ~26 ms with identical
+    # solve quality. The _device variant keeps the SLQ logdet on chip
+    # (Jacobi tridiagonal eigensolver): ONE XLA program, one tunnel round
+    # trip per step.
     def one_step(k):
         return iterative_nll_and_grad_device(
             kernel, params, x, y, noise, k,
-            num_probes=8, max_iters=50, block=4096, precond_m=256, tol=3e-3,
+            num_probes=8, max_iters=25, block=4096, precond_m=128, tol=3e-3,
         )
 
     def sync(v):
@@ -148,7 +150,7 @@ def main() -> None:
                 "vs_baseline": round(t_cpu / wall_ms, 1),
                 "device_ms": round(device_ms, 1),
                 "dense_wall_ms": round(dense_wall_ms, 1),
-                "path": "iterative(mbcg+slq, pivchol-256, streamed-xla matvec + fused vjp)",
+                "path": "iterative(mbcg+slq, pivchol-128, streamed-xla matvec + fused vjp)",
             }
         )
     )

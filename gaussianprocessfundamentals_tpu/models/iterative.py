@@ -111,7 +111,13 @@ def build_preconditioner(kernel, kernel_params, x, m: int, noise,
     Q = jnp.matmul(
         Q, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * QtQ, precision=hp
     )
-    Ur, sv, _ = jacobi_svd_small(Rr)
+    # 6 Jacobi sweeps (not the module default 12): the r4 on-chip sweep
+    # study at n=50k/m=256 measured max CG resid {4:1.5e-5, 6:1.8e-5,
+    # 8:6e-6, 12:1.9e-5} — quality is FLAT across sweeps because the
+    # twice-is-enough projection + Newton passes below absorb residual SVD
+    # error, while each sweep costs ~(m−1) sequential latency-bound
+    # rotations (~9 ms at m=256, the dominant cost of the whole build)
+    Ur, sv, _ = jacobi_svd_small(Rr, sweeps=6)
     # singular values with sv² ≤ 1e-3·σ² contribute ≤ 0.1% to the range
     # coefficient — zero them and their (f32-unresolved, possibly
     # non-orthogonal) basis columns: they fall back to the complement's
