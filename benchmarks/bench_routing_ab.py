@@ -7,10 +7,17 @@ fuses the checkpointed panel build with its consuming matmul. The routing
 default must be set by the composed program, where the matvec sits inside
 mBCG's while_loop and the gradient contraction follows.
 
-Env knob: GPF_NO_FUSED=1 forces every router to the streamed fallback.
+Env knobs (PROCESS-LEVEL: they are read at trace time and baked into the
+jit cache, so set them before the process starts — flipping mid-process has
+no effect): GPF_NO_FUSED=1 forces every router to the streamed fallback;
+GPF_FORCE_FUSED=1 restores the Pallas tile matvec (since r4 the production
+default matvec is streamed, so the script sets GPF_FORCE_FUSED itself for
+its "fused" arm — without it both arms would measure the streamed matvec
+and differ only in the VJP route).
+
 Run (TPU, twice — once per knob):
-  python benchmarks/bench_routing_ab.py
-  GPF_NO_FUSED=1 python benchmarks/bench_routing_ab.py
+  python benchmarks/bench_routing_ab.py                  # fused arm
+  GPF_NO_FUSED=1 python benchmarks/bench_routing_ab.py   # streamed arm
 """
 from __future__ import annotations
 
@@ -19,6 +26,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not os.environ.get("GPF_NO_FUSED"):
+    # the "fused" arm must opt back into the tile matvec now that the
+    # production default is streamed
+    os.environ["GPF_FORCE_FUSED"] = "1"
 
 import numpy as np
 

@@ -14,9 +14,11 @@ Two production paths demonstrated:
    gradients. This is the BASELINE config-5 (N=200k multi-host) memory
    model; here it runs on whatever mesh is available.
 
-Fake an 8-device mesh on CPU:
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-  python examples/09_streaming_multichip.py --n 4096
+Fake an 8-device mesh on CPU (NOTE: on hosts whose sitecustomize ignores
+the JAX_PLATFORMS env var — e.g. the axon image — the CPU pin must happen
+in Python, which this script does itself when --cpu is passed):
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python examples/09_streaming_multichip.py --n 4096 --cpu
 """
 import argparse
 import os
@@ -40,7 +42,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to CPU in Python (env vars may be ignored)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(0)
     n = args.n

@@ -491,11 +491,22 @@ def _fit_iterative_routed(
             optimize_noise=optimize_noise,
             init_noise=max(float(noise), 1e-6),
             xrange=xrange,
+            # restart 0 = deterministic default init; later restarts draw
+            # random inits inside bounds (mirrors the dense path's
+            # ``from_distribution`` inits, reference ``Fitter.py:74``)
+            init_key=None if i == 0 else jr.fold_in(key, 0xA110 + i),
             return_diagnostics=True,
             **kw,
         )
         final = float(hist[-1])
-        if best is None or (np.isfinite(final) and final < best[0]):
+        # NaN-safe selection: a non-finite incumbent must always lose to a
+        # finite challenger (`final < nan` is False, which would otherwise
+        # pin a NaN first restart forever)
+        better = best is None or (
+            np.isfinite(final)
+            and (not np.isfinite(best[0]) or final < best[0])
+        )
+        if better:
             best = (final, kp, fitted_noise, hist, diag)
     final, kp, fitted_noise, hist, diag = best
     return FitResult(

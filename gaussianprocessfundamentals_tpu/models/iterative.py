@@ -419,6 +419,7 @@ def fit_iterative(
     resid_guard: float | None = None,
     materialize: bool | None = None,
     return_diagnostics: bool = False,
+    init_key=None,
 ):
     """Adam over the iterative NLL — exact-GP fitting at N=100k+ scale.
     With ``mesh``, K row panels shard over ``mesh_axis`` (multi-chip).
@@ -440,8 +441,14 @@ def fit_iterative(
     if xrange is None:
         xrange = jnp.stack([x.min(axis=0), x.max(axis=0)], axis=-1)
     pos = kernel.positivity()
+    # init_key=None -> deterministic defaults; a key draws random inits
+    # inside the hyperparameter bounds (multi-restart support)
     u = {
-        "kernel": unconstrain(pos, kernel.init_params(xrange, x.shape[0], dtype=x.dtype)),
+        "kernel": unconstrain(
+            pos,
+            kernel.init_params(xrange, x.shape[0], key=init_key,
+                               dtype=x.dtype),
+        ),
         "log_noise": jnp.log(jnp.asarray(init_noise, x.dtype)),
     }
     opt = optax.adam(lr)

@@ -594,8 +594,16 @@ def expr_lowrank_vjp_cross_for(kernel, params, x1, x2,
 
 
 def expr_lowrank_vjp_for(kernel, params, x, interpret: bool = False):
-    """``(U, W) -> grad pytree`` for supported composites, else None. The
-    WhiteNoise variance gradient is Σᵢ(U Wᵀ)ᵢᵢ = Σ U∘W (exact, O(n·r))."""
+    """``(U, W) -> grad pytree`` for supported composites, else None.
+
+    The WhiteNoise variance gradient is Σ_ij (U Wᵀ)_ij · Eq_ij with Eq the
+    EXACT row-coincidence matrix — computed by one streamed pass
+    (``lowrank_gram_vjp`` on a WhiteNoise leaf) so it stays consistent with
+    the forward matvec/NLL, which uses the exact-equality Gram and counts
+    duplicated input rows. The cheaper diagonal-only sum Σ U∘W equals it
+    only when x has no duplicate rows (the earlier behaviour — a biased
+    gradient exactly in the duplicated-rows case the exact-equality kernel
+    fix exists for)."""
     if not _route_ok(kernel, params, x, interpret):
         return None
     core, core_p, wn = split_white_noise(kernel, params)
@@ -610,14 +618,21 @@ def expr_lowrank_vjp_for(kernel, params, x, interpret: bool = False):
         if not stripped:
             return g_core
         # rebuild the FULL params-shaped gradient, filling white-noise
-        # variance grads with the diagonal cotangent sum and everything
+        # variance grads with the exact coincidence cotangent and everything
         # else from g_core (zero for unscaled WN, which has no params)
         from gaussianprocessfundamentals_tpu.kernels.leaves import (
             WhiteNoiseKernel,
         )
         from gaussianprocessfundamentals_tpu.kernels.operators import Sum
+        from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
+            lowrank_gram_vjp,
+        )
 
-        diag_cot = jnp.sum(U * W)
+        diag_cot = lowrank_gram_vjp(
+            WhiteNoiseKernel(scaled=True),
+            {"variance": jnp.asarray(1.0, x.dtype)},
+            x, U, W, block=4096,
+        )["variance"]
         if isinstance(kernel, WhiteNoiseKernel):
             return {"variance": diag_cot} if kernel.scaled else {}
         assert isinstance(kernel, Sum)

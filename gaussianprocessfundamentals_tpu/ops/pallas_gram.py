@@ -194,7 +194,12 @@ def on_tpu() -> bool:
 def fused_disabled() -> bool:
     """A/B kill switch: set GPF_NO_FUSED=1 to force every router to the
     streamed-XLA fallback (used by benchmarks to measure routing choices on
-    the real program, not just standalone ops)."""
+    the real program, not just standalone ops).
+
+    PROCESS-LEVEL knob: read at trace time and baked into the jit cache —
+    set it before the first call of the process; flipping it mid-process
+    silently has no effect on already-compiled shapes (same for
+    GPF_FORCE_FUSED in ``ops.gram_matvec``)."""
     import os
 
     return bool(os.environ.get("GPF_NO_FUSED"))

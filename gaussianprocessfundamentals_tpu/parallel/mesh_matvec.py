@@ -77,8 +77,9 @@ def mesh_gram_matvec(
     if vec:
         V = V[:, None]
     npad = -(-n // nd) * nd
-    x_rows = _pad_to(x, npad)
-    x_full = _pad_to(x, npad)
+    # ONE padded x serves both operands — the in_specs alone distinguish
+    # the row-sharded panel owner from the replicated x2 side
+    xp = _pad_to(x, npad)
     V_full = _pad_to(V, npad)  # zero pad rows: pad columns contribute 0
 
     def local(x_loc, x_all, V_all, p):
@@ -91,7 +92,7 @@ def mesh_gram_matvec(
         in_specs=(P(axis, None), P(), P(), pspec),
         out_specs=P(axis, None),
         check_vma=False,
-    )(x_rows, x_full, V_full, params)
+    )(xp, xp, V_full, params)
     out = out[:n]
     return out[:, 0] if vec else out
 
@@ -122,9 +123,8 @@ def mesh_lowrank_vjp(
     nd = mesh.shape[axis]
     n, d = x.shape
     npad = -(-n // nd) * nd
-    x_rows = _pad_to(x, npad)
+    xp = _pad_to(x, npad)  # one padded x for both sharded and replicated use
     U_rows = _pad_to(U, npad)  # zero pad rows: no cotangent contribution
-    x_full = _pad_to(x, npad)
     W_full = _pad_to(W, npad)
 
     def local(x_loc, U_loc, x_all, W_all, p):
@@ -148,4 +148,4 @@ def mesh_lowrank_vjp(
         in_specs=(P(axis, None), P(axis, None), P(), P(), pspec),
         out_specs=pspec,
         check_vma=False,
-    )(x_rows, U_rows, x_full, W_full, params)
+    )(xp, U_rows, xp, W_full, params)

@@ -166,3 +166,36 @@ def test_gram_matvec_routes_composite_interpret():
     V = jnp.asarray(rng.standard_normal((300, 2)), jnp.float32)
     want = jnp.matmul(MAUNA.gram(p, x, x), V, precision=HP)
     assert _rel(mv(V), want) < 1e-5
+
+
+def test_wn_gradient_exact_on_duplicated_rows():
+    """Review regression (r4): the WhiteNoise variance gradient must use the
+    EXACT coincidence cotangent, matching the forward's exact-equality Gram
+    on duplicated input rows (the diagonal-only sum is biased there)."""
+    k = gpf.SquaredExponentialKernel() + gpf.WhiteNoiseKernel(scaled=True)
+    base = _x(60, 2, seed=11)
+    x = jnp.concatenate([base, base[:20]], axis=0)  # 20 duplicated rows
+    p = {
+        "children": (
+            {"lengthscale": jnp.float32(0.3)},
+            {"variance": jnp.float32(0.5)},
+        )
+    }
+    rng = np.random.default_rng(12)
+    U = jnp.asarray(rng.standard_normal((80, 3)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((80, 3)), jnp.float32)
+    vjp = pe.expr_lowrank_vjp_for(k, p, x, interpret=True)
+    assert vjp is not None
+    got = vjp(U, W)
+    want = jax.grad(
+        lambda pp: jnp.sum(
+            k.gram(pp, x, x) * jnp.matmul(U, W.T, precision=HP)
+        )
+    )(p)
+    g_wn = float(got["children"][1]["variance"])
+    w_wn = float(want["children"][1]["variance"])
+    # with 20 duplicated rows the off-diagonal coincident terms are a large
+    # fraction of the gradient — the old diag-only sum missed them entirely
+    diag_only = float(jnp.sum(U * W))
+    assert abs(g_wn - w_wn) / abs(w_wn) < 1e-4, (g_wn, w_wn)
+    assert abs(diag_only - w_wn) / abs(w_wn) > 0.05  # proves the case matters
