@@ -22,6 +22,13 @@ from gaussianprocessfundamentals_tpu.fit.fit import FitResult, fit as _fit
 from gaussianprocessfundamentals_tpu.linalg import cholesky as chol
 from gaussianprocessfundamentals_tpu.means.functions import MeanFunction, ZeroMean
 
+# posterior() dense→iterative routing threshold: above this the [n, n] K
+# build + Cholesky becomes memory-prohibitive (40 GB at n=100k) and the
+# matrix-free preconditioned mBCG moments take over. Deliberately HIGHER
+# than fit()'s 8k crossover: prediction is usually a one-off where the
+# dense factorisation's exactness is worth its cost while it still fits.
+_AUTO_ITERATIVE_POST_N = 20_000
+
 
 class Posterior(NamedTuple):
     """Posterior moments at the test inputs (already including the mean
@@ -54,6 +61,26 @@ def posterior(
     mean = mean if mean is not None else ZeroMean(dim=x_train.shape[-1])
     mean_params = mean_params if mean_params is not None else {}
     resid = y_train - mean.mean(mean_params, x_train)
+
+    n = x_train.shape[-2]
+    if not full_cov and x_train.ndim == 2 and n >= _AUTO_ITERATIVE_POST_N:
+        # large-n route: matrix-free preconditioned mBCG posterior — the
+        # dense path below materialises the [n, n] K and factors it (40 GB
+        # at n=100k); the iterative moments match it to solver tolerance
+        # (tests) and are what fit(method="auto") trained against
+        from gaussianprocessfundamentals_tpu.models.iterative import (
+            iterative_posterior,
+        )
+
+        post_mu, var = iterative_posterior(
+            kernel, kernel_params, x_train, resid, x_test,
+            jnp.asarray(noise, x_train.dtype) + jitter,
+        )
+        mean_mu = mean.mean(mean_params, x_test)
+        var = jnp.maximum(var, 0.0)
+        return Posterior(
+            mean_mu + post_mu, var, jnp.sqrt(var), mean_mu, post_mu
+        )
 
     K = kernel.gram(kernel_params, x_train, x_train)
     state = chol.factor(K, resid, noise, jitter)

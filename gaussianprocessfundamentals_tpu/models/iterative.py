@@ -569,15 +569,32 @@ def fit_iterative(
     return kp, noise, jnp.asarray(hist)
 
 
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "block"))
+def _posterior_precond(kernel, kernel_params, x, noise, precond_m):
+    if precond_m <= 0:
+        return None
+    m = min(precond_m, x.shape[0])
+    P_inv, _, _, _, _ = build_preconditioner(
+        kernel, kernel_params, x, m, noise
+    )
+    return P_inv
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "max_iters", "block", "precond_m"))
 def iterative_posterior_mean(
     kernel, kernel_params, x, y, x_test, noise,
     max_iters: int = 200, block: int = 2048, tol: float = 1e-8,
+    precond_m: int = 128,
 ):
-    """μ* = K_sᵀ·Kₙ⁻¹y with a CG solve + streamed cross-covariance matvec."""
+    """μ* = K_sᵀ·Kₙ⁻¹y with a (preconditioned) CG solve + streamed
+    cross-covariance matvec. ``precond_m > 0`` reuses the training-path
+    pivoted-Cholesky preconditioner — at N≥50k unpreconditioned f32 CG
+    stalls near its eps·κ floor while PCG reaches ~1e-5 (BENCHMARKS r4)."""
     noise = jnp.asarray(noise, x.dtype)
     matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
-    res = mbcg(matvec, y[:, None], max_iters=max_iters, tol=tol)
+    P_inv = _posterior_precond(kernel, kernel_params, x, noise, precond_m)
+    res = mbcg(matvec, y[:, None], max_iters=max_iters, tol=tol,
+               precond=P_inv)
     alpha = res.solves[:, 0]
     # μ* computed in test row blocks: K(x_test, x) @ α
     from gaussianprocessfundamentals_tpu.ops.gram_matvec import _pad_rows
@@ -591,19 +608,23 @@ def iterative_posterior_mean(
     return mu
 
 
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "block"))
+@partial(jax.jit,
+         static_argnames=("kernel", "max_iters", "block", "precond_m"))
 def iterative_posterior(
     kernel, kernel_params, x, y, x_test, noise,
     max_iters: int = 200, block: int = 2048, tol: float = 1e-8,
+    precond_m: int = 128,
 ):
     """(μ*, var*) via batched CG: one mBCG solve against [y | K_s] gives the
     posterior mean and the marginal variances
-    var_i = k_ii − K_s[:,i]ᵀ·Kₙ⁻¹·K_s[:,i] without any factorisation."""
+    var_i = k_ii − K_s[:,i]ᵀ·Kₙ⁻¹·K_s[:,i] without any factorisation.
+    Preconditioned like the training path (``precond_m``)."""
     noise = jnp.asarray(noise, x.dtype)
     matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
     K_s = kernel.gram(kernel_params, x, x_test)  # [n, t]
     B = jnp.concatenate([y[:, None], K_s], axis=1)
-    res = mbcg(matvec, B, max_iters=max_iters, tol=tol)
+    P_inv = _posterior_precond(kernel, kernel_params, x, noise, precond_m)
+    res = mbcg(matvec, B, max_iters=max_iters, tol=tol, precond=P_inv)
     alpha = res.solves[:, 0]
     V = res.solves[:, 1:]  # Kₙ⁻¹ K_s
     mu = K_s.T @ alpha

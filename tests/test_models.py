@@ -192,3 +192,26 @@ def test_fit_segments_vmapped(key):
     ls_fit = np.asarray(kp["lengthscale"])
     assert np.all(np.isfinite(np.asarray(final)))
     assert ls_fit[0] < ls_fit[1], ls_fit
+
+
+def test_posterior_auto_routes_iterative_matches_dense():
+    """posterior() above the size threshold uses the matrix-free route; its
+    moments must match the dense-Cholesky result to solver tolerance."""
+    from unittest import mock
+
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.models import exact
+
+    x, y = gpf.synth_se(n=600, lengthscale=0.2, noise_sd=0.2, seed=21)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    xt = jnp.linspace(0.0, 1.0, 40)[:, None]
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    dense = exact.posterior(k, p, x, y, xt, 0.04)
+    with mock.patch.object(exact, "_AUTO_ITERATIVE_POST_N", 100):
+        it = exact.posterior(k, p, x, y, xt, 0.04)
+    np.testing.assert_allclose(np.asarray(it.mean), np.asarray(dense.mean),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(it.var), np.asarray(dense.var),
+                               rtol=1e-3, atol=1e-6)
