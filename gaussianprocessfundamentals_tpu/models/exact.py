@@ -69,10 +69,10 @@ def posterior(
         # at n=100k); the iterative moments match it to solver tolerance
         # (tests) and are what fit(method="auto") trained against
         from gaussianprocessfundamentals_tpu.models.iterative import (
-            iterative_posterior,
+            iterative_posterior_chunked,
         )
 
-        post_mu, var = iterative_posterior(
+        post_mu, var = iterative_posterior_chunked(
             kernel, kernel_params, x_train, resid, x_test,
             jnp.asarray(noise, x_train.dtype) + jitter,
         )
