@@ -352,6 +352,33 @@ def run_checks(quick: bool = False, interpret: bool = False):
         err = float(np.max(np.asarray(rel)))
         checks.append(("pcg_precond_50k", err, 0.05, err < 0.05))
 
+    # --- every leaf kernel's diag/gram consistency ON CHIP (r4 VERDICT item
+    # 8): diag(params, x) must equal diagonal(gram(params, x, x)) under real
+    # f32 rounding for each leaf (the WhiteNoise d²≤0 bug was exactly a
+    # diag-vs-gram inconsistency only visible on-chip) ---
+    xl = mk(512, 2)
+    leaf_cases = [
+        ("const", gpf.ConstantKernel(), {"value": jnp.float32(1.3)}),
+        ("wn", gpf.WhiteNoiseKernel(), {}),
+        ("lin", gpf.LinearKernel(),
+         {"offset": jnp.asarray([0.4, 0.6], jnp.float32)}),
+        ("se", gpf.SquaredExponentialKernel(scaled=True),
+         {"lengthscale": jnp.float32(0.2), "variance": jnp.float32(1.4)}),
+        ("per", gpf.PeriodicKernel(),
+         {"lengthscale": jnp.float32(0.5), "period": jnp.float32(0.3)}),
+        ("mat32", gpf.Matern32Kernel(), {"lengthscale": jnp.float32(0.2)}),
+        ("mat52", gpf.Matern52Kernel(), {"lengthscale": jnp.float32(0.2)}),
+        ("rq", gpf.RationalQuadraticKernel(),
+         {"lengthscale": jnp.float32(0.2), "alpha": jnp.float32(0.7)}),
+    ]
+    for name, kl, pl in leaf_cases:
+        dg = jax.device_get(jnp.diagonal(kl.gram(pl, xl, xl)))
+        dd = jax.device_get(kl.diag(pl, xl))
+        err = _rel(dg, dd)
+        # distance-expansion rounding can leave tiny positive d² on the
+        # diagonal: tolerance covers exp/poly of that, not semantic drift
+        checks.append((f"leaf_diag_{name}", err, 1e-4, err < 1e-4))
+
     # --- WhiteNoise coincidence on-chip (r3 VERDICT weak #6): duplicated
     # rows must be detected as coincident in f32 on the real rounding path --
     xw = mk(256, 3)

@@ -15,6 +15,7 @@ import dataclasses
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
@@ -204,7 +205,11 @@ class LinearKernel(LeafKernel):
     def _gram(self, p, x1, x2):
         a = x1 - p["offset"]
         b = x2 - p["offset"]
-        return jnp.matmul(a, jnp.swapaxes(b, -1, -2))
+        # full-f32 passes: the default bf16 MXU matmul left this Gram with
+        # ~0.6% on-chip error vs the exact diag (caught by the r4
+        # leaf_diag_* gate sweep) — LIN feeds CG/Cholesky like every kernel
+        return jnp.matmul(a, jnp.swapaxes(b, -1, -2),
+                          precision=jax.lax.Precision.HIGHEST)
 
     def _diag(self, p, x):
         a = x - p["offset"]
