@@ -40,8 +40,20 @@ def nystroem_factor(
     K_nm = kernel.gram(params, x, z)
     K_mm = kernel.gram(params, z, z)
     # dtype-aware jitter floor: optimised inducing locations drift close
-    # together mid-fit, and an f32 K_mm then needs more than 1e-8 to factor
-    L_mm = jnp.linalg.cholesky(add_diag(K_mm, effective_jitter(K_mm, jitter)))
+    # together mid-fit, and an f32 K_mm then needs more than 1e-8 to factor.
+    # DEVICE-SIDE ESCALATION (r4): fitted inducing points can land ~1e-7
+    # apart (measured after a 300-step optimize_inducing fit at n=2000) —
+    # K_mm then has duplicate columns and κ > 1/eps, so even a positive
+    # jitter leaves the f32 Cholesky NaN. Try two more decades and take the
+    # first finite factor (the jit-compatible analogue of fit()'s host-side
+    # jitter escalation); 2 extra [m, m] factorizations are negligible.
+    base = effective_jitter(K_mm, jitter)
+    L_a = jnp.linalg.cholesky(add_diag(K_mm, base))
+    L_b = jnp.linalg.cholesky(add_diag(K_mm, 100.0 * base))
+    L_c = jnp.linalg.cholesky(add_diag(K_mm, 1e4 * base))
+    ok_a = jnp.all(jnp.isfinite(L_a))
+    ok_b = jnp.all(jnp.isfinite(L_b))
+    L_mm = jnp.where(ok_a, L_a, jnp.where(ok_b, L_b, L_c))
     # A = K_nm L_mm^{-T}: K̂ = A Aᵀ
     A = solve_triangular(L_mm, K_nm.T, lower=True).T
     noise = jnp.asarray(noise, x.dtype)

@@ -232,3 +232,31 @@ def test_ski_d2_matvec_matches_dense():
     np.testing.assert_allclose(got, dense @ np.asarray(v), atol=1e-8)
     mll = float(ski_mll(K_SE, p, x, v, grid, 0.2, 1e-8))
     assert np.isfinite(mll)
+
+
+def test_nystroem_posterior_colliding_inducing_finite():
+    """Regression (r4): a fit with optimize_inducing can leave inducing
+    points ~1e-7 apart; K_mm is then numerically singular in f32 and the
+    Cholesky NaN'd even with the jitter floor, silently poisoning every
+    downstream posterior. The device-side jitter escalation must keep the
+    factor — and the posterior — finite."""
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.linalg.nystroem import (
+        nystroem_factor,
+        nystroem_posterior,
+    )
+
+    x, y = gpf.synth_se(n=400, lengthscale=0.2, noise_sd=0.1, seed=7)
+    x, y = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.float32(0.05)}
+    base = x[:: 400 // 16][:16]
+    z = jnp.concatenate([base, base + 5e-7], axis=0)  # collided pairs
+    st = nystroem_factor(k, p, x, z, jnp.float32(0.005), 1e-8)
+    assert bool(jnp.isfinite(st.L_mm).all())
+    assert bool(jnp.isfinite(st.L_core).all())
+    xt = jnp.linspace(0.0, 1.0, 50)[:, None].astype(jnp.float32)
+    mu, var = nystroem_posterior(k, p, x, y, z, xt, jnp.float32(0.005), 1e-8)
+    assert bool(jnp.isfinite(mu).all()) and bool(jnp.isfinite(var).all())
+    assert bool((var >= 0).all())
