@@ -372,8 +372,10 @@ def run_checks(quick: bool = False, interpret: bool = False):
          {"lengthscale": jnp.float32(0.2), "alpha": jnp.float32(0.7)}),
     ]
     for name, kl, pl in leaf_cases:
-        dg = jax.device_get(jnp.diagonal(kl.gram(pl, xl, xl)))
-        dd = jax.device_get(kl.diag(pl, xl))
+        # ONE batched transfer per leaf (tunnel round trips are ~28 ms each)
+        dg, dd = jax.device_get(
+            (jnp.diagonal(kl.gram(pl, xl, xl)), kl.diag(pl, xl))
+        )
         err = _rel(dg, dd)
         # distance-expansion rounding can leave tiny positive d² on the
         # diagonal: tolerance covers exp/poly of that, not semantic drift

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
@@ -48,12 +49,19 @@ def nystroem_factor(
     # first finite factor (the jit-compatible analogue of fit()'s host-side
     # jitter escalation); 2 extra [m, m] factorizations are negligible.
     base = effective_jitter(K_mm, jitter)
-    L_a = jnp.linalg.cholesky(add_diag(K_mm, base))
-    L_b = jnp.linalg.cholesky(add_diag(K_mm, 100.0 * base))
-    L_c = jnp.linalg.cholesky(add_diag(K_mm, 1e4 * base))
-    ok_a = jnp.all(jnp.isfinite(L_a))
-    ok_b = jnp.all(jnp.isfinite(L_b))
-    L_mm = jnp.where(ok_a, L_a, jnp.where(ok_b, L_b, L_c))
+    # PROBE factorizations on a stop_gradient'd copy pick the jitter level;
+    # the factor that enters the computation is then ONE differentiable
+    # Cholesky at that level. (Selecting between cholesky RESULTS with
+    # jnp.where would rescue the forward but the VJP of where still runs
+    # triangular solves against the NaN primal L — 0·NaN = NaN gradients,
+    # poisoning exactly the optimize_inducing fit that collides the points.)
+    K_sg = jax.lax.stop_gradient(K_mm)
+    ok_a = jnp.all(jnp.isfinite(jnp.linalg.cholesky(add_diag(K_sg, base))))
+    ok_b = jnp.all(
+        jnp.isfinite(jnp.linalg.cholesky(add_diag(K_sg, 100.0 * base)))
+    )
+    jit_sel = jnp.where(ok_a, base, jnp.where(ok_b, 100.0 * base, 1e4 * base))
+    L_mm = jnp.linalg.cholesky(add_diag(K_mm, jit_sel))
     # A = K_nm L_mm^{-T}: K̂ = A Aᵀ
     A = solve_triangular(L_mm, K_nm.T, lower=True).T
     noise = jnp.asarray(noise, x.dtype)

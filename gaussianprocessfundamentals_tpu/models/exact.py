@@ -41,7 +41,6 @@ class Posterior(NamedTuple):
     posterior_mu: jnp.ndarray  # GP residual posterior (reference's 3rd output)
 
 
-@partial(jax.jit, static_argnames=("kernel", "mean", "full_cov"))
 def posterior(
     kernel,
     kernel_params: Any,
@@ -57,10 +56,16 @@ def posterior(
     """Posterior moments. Detrends y by the mean function (reference
     ``DataInput.get_detrended_y_train``, ``DataHandling/DataInput.py:77-124``),
     computes μ* = K_sᵀα and Σ* = K_ss − vᵀv via triangular solves, and re-adds
-    the mean at test inputs."""
+    the mean at test inputs.
+
+    PLAIN-PYTHON router (deliberately not jitted): the large-n branch must
+    run its test-point chunks as SEPARATE device programs — under jit the
+    host chunk loop would unroll into one giant fused program, re-entering
+    the large-program class that crashes the TPU worker (r4 review finding;
+    the dense implementation below is jitted on its own).
+    """
     mean = mean if mean is not None else ZeroMean(dim=x_train.shape[-1])
     mean_params = mean_params if mean_params is not None else {}
-    resid = y_train - mean.mean(mean_params, x_train)
 
     n = x_train.shape[-2]
     if not full_cov and x_train.ndim == 2 and n >= _AUTO_ITERATIVE_POST_N:
@@ -72,16 +77,27 @@ def posterior(
             iterative_posterior_chunked,
         )
 
+        resid = y_train - mean.mean(mean_params, x_train)
         post_mu, var = iterative_posterior_chunked(
             kernel, kernel_params, x_train, resid, x_test,
             jnp.asarray(noise, x_train.dtype) + jitter,
         )
         mean_mu = mean.mean(mean_params, x_test)
-        var = jnp.maximum(var, 0.0)
         return Posterior(
             mean_mu + post_mu, var, jnp.sqrt(var), mean_mu, post_mu
         )
+    return _posterior_dense(
+        kernel, kernel_params, x_train, y_train, x_test, noise, jitter,
+        mean, mean_params, full_cov,
+    )
 
+
+@partial(jax.jit, static_argnames=("kernel", "mean", "full_cov"))
+def _posterior_dense(
+    kernel, kernel_params, x_train, y_train, x_test, noise, jitter,
+    mean, mean_params, full_cov,
+):
+    resid = y_train - mean.mean(mean_params, x_train)
     K = kernel.gram(kernel_params, x_train, x_train)
     state = chol.factor(K, resid, noise, jitter)
     K_s = kernel.gram(kernel_params, x_train, x_test)

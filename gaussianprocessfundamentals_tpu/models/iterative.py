@@ -135,19 +135,26 @@ def build_preconditioner(kernel, kernel_params, x, m: int, noise,
         )
     W_b = shard_rows(W_b)
     d_rng = 1.0 / (sv * sv + noise)  # [m]
-
-    def P_inv(V):
-        vec = V.ndim == 1
-        Vm = V[:, None] if vec else V
-        c = jnp.matmul(W_b.T, Vm, precision=hp)  # [m, r]
-        comp = Vm - jnp.matmul(W_b, c, precision=hp)
-        c2 = jnp.matmul(W_b.T, comp, precision=hp)  # twice-is-enough
-        comp = (comp - jnp.matmul(W_b, c2, precision=hp)) / noise
-        out = comp + jnp.matmul(W_b, d_rng[:, None] * c, precision=hp)
-        return out[:, 0] if vec else out
-
+    P_inv = lambda V: apply_P_inv(W_b, d_rng, noise, V)
     log_P = (n - m) * jnp.log(noise) + jnp.sum(jnp.log(sv * sv + noise))
     return P_inv, W_b, sv, d_rng, log_P
+
+
+def apply_P_inv(W_b, d_rng, noise, V):
+    """Projector-form P⁻¹ application given the orthonormal basis W_b and
+    range coefficients d_rng = 1/(sv²+σ²) — the single source of truth for
+    the twice-is-enough complement projection (see
+    :func:`build_preconditioner`). Factored out so chunked posterior solves
+    can reuse a prebuilt basis across separate device programs."""
+    hp = jax.lax.Precision.HIGHEST
+    vec = V.ndim == 1
+    Vm = V[:, None] if vec else V
+    c = jnp.matmul(W_b.T, Vm, precision=hp)  # [m, r]
+    comp = Vm - jnp.matmul(W_b, c, precision=hp)
+    c2 = jnp.matmul(W_b.T, comp, precision=hp)  # twice-is-enough
+    comp = (comp - jnp.matmul(W_b, c2, precision=hp)) / noise
+    out = comp + jnp.matmul(W_b, d_rng[:, None] * c, precision=hp)
+    return out[:, 0] if vec else out
 
 
 def _core_impl(
@@ -633,27 +640,83 @@ def iterative_posterior(
     return mu, jnp.maximum(var, 0.0)
 
 
+@partial(jax.jit, static_argnames=("kernel", "m", "max_iters", "block"))
+def _posterior_setup(kernel, kernel_params, x, y, noise, m, max_iters,
+                     block, tol):
+    """One device program: preconditioner build + the single y-solve.
+    ``m == 0`` degrades to the σ²-scaled identity (W_b = 0 basis)."""
+    n = x.shape[0]
+    if m > 0:
+        P_inv, W_b, sv, d_rng, _ = build_preconditioner(
+            kernel, kernel_params, x, m, noise
+        )
+    else:
+        W_b = jnp.zeros((n, 1), x.dtype)
+        d_rng = jnp.zeros((1,), x.dtype)
+        P_inv = lambda V: apply_P_inv(W_b, d_rng, noise, V)
+    matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+    res = mbcg(matvec, y[:, None], max_iters=max_iters, tol=tol,
+               precond=P_inv, early_exit=True)
+    return res.solves[:, 0], W_b, d_rng
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "block"))
+def _posterior_chunk(kernel, kernel_params, x, alpha, xt, noise, W_b, d_rng,
+                     max_iters, block, tol):
+    """One device program per test-point chunk, REUSING the prebuilt
+    preconditioner basis and y-solve."""
+    matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+    P_inv = lambda V: apply_P_inv(W_b, d_rng, noise, V)
+    K_s = kernel.gram(kernel_params, x, xt)  # [n, c]
+    res = mbcg(matvec, K_s, max_iters=max_iters, tol=tol, precond=P_inv,
+               early_exit=True)
+    V = res.solves
+    mu = K_s.T @ alpha
+    var = kernel.diag(kernel_params, xt) - jnp.sum(K_s * V, axis=0)
+    return mu, jnp.maximum(var, 0.0)
+
+
 def iterative_posterior_chunked(
     kernel, kernel_params, x, y, x_test, noise,
     max_iters: int = 100, block: int = 2048, tol: float = 1e-6,
     precond_m: int = 128, chunk: int = 256,
 ):
     """(μ*, var*) for LARGE n·t: test points solved in host-level chunks of
-    ``chunk`` columns, each a separate moderate-size device program.
+    ``chunk`` columns, each a SEPARATE moderate-size device program.
 
     One [n, t+1]-RHS mBCG program at n=100k, t=1000 holds ~6 × 400 MB of CG
     state and runs a very large fixed scan — measured r4 to crash the axon
     TPU worker; per-chunk programs of ≤ ``chunk`` RHS stay well inside the
-    envelope and the per-call tunnel cost (~30 ms) is amortised over the
-    chunk's solves. Exactness is unchanged (CG per column is independent).
+    envelope. The preconditioner and the y-solve are built ONCE
+    (``_posterior_setup``) and shared by every chunk; the last chunk is
+    padded to the fixed width so only two programs ever compile. Exactness
+    is unchanged (CG per column is independent).
+
+    HOST-LEVEL by contract: calling this inside jit would unroll the chunk
+    loop back into one giant program — callers (``models.exact.posterior``)
+    stay un-jitted on this path.
     """
+    noise = jnp.asarray(noise, x.dtype)
+    m = min(precond_m, x.shape[0]) if precond_m > 0 else 0
+    alpha, W_b, d_rng = _posterior_setup(
+        kernel, kernel_params, x, y, noise, m, max_iters, block, tol
+    )
     t = x_test.shape[0]
+    cw = min(chunk, t)
     mus, vars_ = [], []
-    for c0 in range(0, t, chunk):
-        mu_c, var_c = iterative_posterior(
-            kernel, kernel_params, x, y, x_test[c0:c0 + chunk], noise,
-            max_iters=max_iters, block=block, tol=tol, precond_m=precond_m,
+    for c0 in range(0, t, cw):
+        xt = x_test[c0:c0 + cw]
+        pad = cw - xt.shape[0]
+        if pad:
+            xt = jnp.concatenate(
+                [xt, jnp.broadcast_to(xt[-1:], (pad,) + xt.shape[1:])], 0
+            )
+        mu_c, var_c = _posterior_chunk(
+            kernel, kernel_params, x, alpha, xt, noise, W_b, d_rng,
+            max_iters, block, tol,
         )
+        if pad:
+            mu_c, var_c = mu_c[:-pad], var_c[:-pad]
         mus.append(mu_c)
         vars_.append(var_c)
     return jnp.concatenate(mus), jnp.concatenate(vars_)

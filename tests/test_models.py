@@ -196,12 +196,15 @@ def test_fit_segments_vmapped(key):
 
 def test_posterior_auto_routes_iterative_matches_dense():
     """posterior() above the size threshold uses the matrix-free route; its
-    moments must match the dense-Cholesky result to solver tolerance."""
+    moments must match the dense-Cholesky result to solver tolerance. The
+    route must DEMONSTRABLY fire (the first version of this test was vacuous:
+    posterior() was jitted, so the patched threshold was baked into a cached
+    dense executable and both calls ran the dense program — r4 review)."""
     from unittest import mock
 
     import jax.numpy as jnp
 
-    from gaussianprocessfundamentals_tpu.models import exact
+    from gaussianprocessfundamentals_tpu.models import exact, iterative
 
     x, y = gpf.synth_se(n=600, lengthscale=0.2, noise_sd=0.2, seed=21)
     x, y = jnp.asarray(x), jnp.asarray(y)
@@ -209,9 +212,26 @@ def test_posterior_auto_routes_iterative_matches_dense():
     k = gpf.SquaredExponentialKernel()
     p = {"lengthscale": jnp.asarray(0.2)}
     dense = exact.posterior(k, p, x, y, xt, 0.04)
-    with mock.patch.object(exact, "_AUTO_ITERATIVE_POST_N", 100):
+    calls = []
+    real = iterative.iterative_posterior_chunked
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    with mock.patch.object(exact, "_AUTO_ITERATIVE_POST_N", 100), \
+         mock.patch.object(iterative, "iterative_posterior_chunked", spy):
         it = exact.posterior(k, p, x, y, xt, 0.04)
+    assert calls, "iterative route was not taken"
     np.testing.assert_allclose(np.asarray(it.mean), np.asarray(dense.mean),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(it.var), np.asarray(dense.var),
                                rtol=1e-3, atol=1e-6)
+    # a chunk width smaller than t must produce identical results (padding +
+    # shared-setup path)
+    mu2, var2 = real(
+        k, p, x, y, xt,
+        jnp.asarray(0.04) + exact.DEFAULT_CONFIG.jitter, chunk=16,
+    )
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(it.posterior_mu),
+                               rtol=1e-5, atol=1e-7)
