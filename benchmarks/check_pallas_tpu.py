@@ -358,7 +358,7 @@ def run_checks(quick: bool = False, interpret: bool = False):
     # diag-vs-gram inconsistency only visible on-chip) ---
     xl = mk(512, 2)
     leaf_cases = [
-        ("const", gpf.ConstantKernel(), {"value": jnp.float32(1.3)}),
+        ("const", gpf.ConstantKernel(), {"c": jnp.float32(1.3)}),
         ("wn", gpf.WhiteNoiseKernel(), {}),
         ("lin", gpf.LinearKernel(),
          {"offset": jnp.asarray([0.4, 0.6], jnp.float32)}),

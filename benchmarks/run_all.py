@@ -253,27 +253,47 @@ def bench_nuts(n, chains, dtype):
 
 
 def bench_svgp(n, m, steps, dtype):
-    """Config 4: SVGP ELBO steps/s."""
+    """Config 4: SVGP ELBO throughput + QUALITY (r4 VERDICT weak #5: a
+    steps/s number alone invites misreading — wall-clock includes the
+    persistent-cache compile serve, and says nothing about learning).
+    Reports final minibatch −ELBO, held-out RMSE and mean NLPD."""
     import jax
     import jax.numpy as jnp
     import jax.random as jr
 
     import gaussianprocessfundamentals_tpu as gpf
+    from gaussianprocessfundamentals_tpu.models.svgp import svgp_predict
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (n, 1)), dtype)
-    y = jnp.asarray(np.sin(12 * np.asarray(x)[:, 0])
-                    + 0.1 * rng.standard_normal(n), dtype)
+    n_test = 2000
+    xa = rng.uniform(0, 1, (n + n_test, 1))
+    f = np.sin(12 * xa[:, 0])
+    ya = f + 0.1 * rng.standard_normal(n + n_test)
+    x = jnp.asarray(xa[:n], dtype)
+    y = jnp.asarray(ya[:n], dtype)
+    xt = jnp.asarray(xa[n:], dtype)
+    yt = ya[n:]
+    k = gpf.SquaredExponentialKernel(scaled=True)
     t0 = time.perf_counter()
     params, hist = gpf.fit_svgp(
-        gpf.SquaredExponentialKernel(scaled=True), x, y, m=m, steps=steps,
-        batch_size=min(4096, n), key=jr.PRNGKey(0),
+        k, x, y, m=m, steps=steps, batch_size=min(4096, n), key=jr.PRNGKey(0),
     )
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
+    mu, fvar = svgp_predict(k, params, xt)
+    noise_var = float(jnp.exp(params.log_noise))  # σ² (variance convention)
+    pred_var = np.asarray(fvar, np.float64) + noise_var
+    mu = np.asarray(mu, np.float64)
+    rmse = float(np.sqrt(np.mean((mu - yt) ** 2)))
+    nlpd = float(np.mean(
+        0.5 * np.log(2 * np.pi * pred_var) + 0.5 * (yt - mu) ** 2 / pred_var
+    ))
     return {"config": "svgp_elbo", "n": n, "m": m, "steps": steps,
             "steps_per_s": round(steps / dt, 1),
-            "neg_elbo_final": round(float(hist[-1]), 1)}
+            "wall_note": "wall incl. persistent-cache compile serve",
+            "neg_elbo_final": round(float(hist[-1]), 1),
+            "test_rmse": round(rmse, 4), "test_nlpd": round(nlpd, 3),
+            "fitted_noise_var": round(noise_var, 5)}
 
 
 def bench_distributed(n, block, dtype):

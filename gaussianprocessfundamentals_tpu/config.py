@@ -51,6 +51,13 @@ class GPConfig:
     # Maximum number of ×10 jitter escalations when a Cholesky factorisation
     # produces NaNs (hardening; the reference has no equivalent).
     max_jitter_retries: int = 6
+    # Memory budget for DENSE covariance programs: routing forces the
+    # matrix-free iterative path (or raises with the reason) whenever the
+    # dense NLL+grad working set ~3·n²·itemsize would exceed this — the
+    # dense/iterative crossover must never be picked by speed alone when the
+    # dense program cannot physically fit (r4 VERDICT item #10). Default is
+    # half a v5e chip's 16 GB HBM.
+    dense_hbm_budget: float = 8e9
 
 
 DEFAULT_CONFIG = GPConfig()

@@ -144,19 +144,19 @@ class ConstantKernel(LeafKernel):
     def _gram(self, p, x1, x2):
         n, m = x1.shape[-2], x2.shape[-2]
         shape = jnp.broadcast_shapes(x1.shape[:-2], x2.shape[:-2]) + (n, m)
-        return jnp.broadcast_to(p["value"], shape)
+        return jnp.broadcast_to(p["c"], shape)
 
     def _diag(self, p, x):
-        return jnp.broadcast_to(p["value"], x.shape[:-1])
+        return jnp.broadcast_to(p["c"], x.shape[:-1])
 
     def _own_defaults(self, xr, n, dtype):
-        return {"value": jnp.asarray(1.0, dtype)}
+        return {"c": jnp.asarray(1.0, dtype)}
 
     def _own_positivity(self):
-        return {"value": True}
+        return {"c": True}
 
     def _own_bounds(self, xr, n):
-        return {"value": 1e-8}, {"value": np.inf}
+        return {"c": 1e-8}, {"c": np.inf}
 
 
 @register_kernel

@@ -37,6 +37,7 @@ class MBCGResult(NamedTuple):
     alphas: jnp.ndarray  # [t, r] CG step sizes
     betas: jnp.ndarray  # [t, r] CG conjugacy coefficients
     resid_norm: jnp.ndarray  # [r] BEST (returned-iterate) residual norms
+    iters: jnp.ndarray = None  # scalar: iterations actually executed
 
 
 def mbcg(
@@ -167,7 +168,7 @@ def mbcg(
                 jax.lax.dynamic_update_slice(betas, beta[None], (i, 0)),
             )
 
-        _, carry_out, alphas, betas = jax.lax.while_loop(
+        iters, carry_out, alphas, betas = jax.lax.while_loop(
             cond, body, (jnp.asarray(0), init, buf, buf)
         )
         bX, bR = carry_out[6], carry_out[7]
@@ -176,7 +177,8 @@ def mbcg(
             lambda c, _: step(c), init, None, length=max_iters
         )
         bX, bR = carry_out[6], carry_out[7]
-    return MBCGResult(bX, alphas, betas, bR)
+        iters = jnp.asarray(max_iters)
+    return MBCGResult(bX, alphas, betas, bR, iters)
 
 
 def lanczos_tridiag_from_cg(

@@ -113,17 +113,17 @@ class ConstantMean(MeanFunction):
     """m(x) = c; default c = 0.01 (reference ``BaseMeanFunctions.py:37-63``)."""
 
     def mean(self, params, x):
-        return jnp.broadcast_to(params["value"], x.shape[:-1])
+        return jnp.broadcast_to(params["c"], x.shape[:-1])
 
     def init_params(self, xrange=None, n=0, key=None, dtype=None):
         dtype = _dt(dtype)
         v = jnp.asarray(0.01, dtype)
         if key is not None:
             v = v + jr.normal(key, (), dtype)
-        return {"value": v}
+        return {"c": v}
 
     def positivity(self):
-        return {"value": False}
+        return {"c": False}
 
 
 @register_mean

@@ -52,11 +52,17 @@ def posterior(
     mean: Optional[MeanFunction] = None,
     mean_params: Any = None,
     full_cov: bool = False,
+    method: str = "auto",
 ):
     """Posterior moments. Detrends y by the mean function (reference
     ``DataInput.get_detrended_y_train``, ``DataHandling/DataInput.py:77-124``),
     computes μ* = K_sᵀα and Σ* = K_ss − vᵀv via triangular solves, and re-adds
     the mean at test inputs.
+
+    ``method``: "auto" (dense below ``_AUTO_ITERATIVE_POST_N`` rows,
+    matrix-free chunked mBCG above — mirrors ``fit(method="auto")``),
+    "dense" (force the exact Cholesky path regardless of n — the caller owns
+    the O(n²) memory), or "iterative" (force the matrix-free route at any n).
 
     PLAIN-PYTHON router (deliberately not jitted): the large-n branch must
     run its test-point chunks as SEPARATE device programs — under jit the
@@ -64,11 +70,33 @@ def posterior(
     the large-program class that crashes the TPU worker (r4 review finding;
     the dense implementation below is jitted on its own).
     """
+    if method not in ("auto", "dense", "iterative"):
+        raise ValueError(
+            f"posterior(method={method!r}): one of 'auto', 'dense', 'iterative'"
+        )
     mean = mean if mean is not None else ZeroMean(dim=x_train.shape[-1])
     mean_params = mean_params if mean_params is not None else {}
 
     n = x_train.shape[-2]
-    if not full_cov and x_train.ndim == 2 and n >= _AUTO_ITERATIVE_POST_N:
+    want_iterative = method == "iterative" or (
+        method == "auto" and n >= _AUTO_ITERATIVE_POST_N
+    )
+    if want_iterative and isinstance(x_train, jax.core.Tracer):
+        # the chunked route is a HOST-level loop of separate device programs;
+        # under an outer jit it would unroll into one giant program (the
+        # TPU-worker-crash class). Surface that instead of compiling it.
+        raise ValueError(
+            "posterior(): the large-n iterative route cannot run under an "
+            "outer jit (its host-level test-point chunking would unroll "
+            "into one giant program). Call posterior() un-jitted, or force "
+            "method='dense' if the [n, n] dense program is intended."
+        )
+    if method == "iterative" and (full_cov or x_train.ndim != 2):
+        raise ValueError(
+            "posterior(method='iterative') supports marginal variances on "
+            "unbatched inputs only (full_cov=False, x_train [n, d])"
+        )
+    if not full_cov and x_train.ndim == 2 and want_iterative:
         # large-n route: matrix-free preconditioned mBCG posterior — the
         # dense path below materialises the [n, n] K and factors it (40 GB
         # at n=100k); the iterative moments match it to solver tolerance
@@ -196,13 +224,18 @@ class GaussianProcess:
 
             kwargs.pop("method")
             key = kwargs.pop("key", jr.PRNGKey(0))
-            kp, noise, hist = fit_iterative(
+            mean = None if type(self.mean) is ZeroMean else self.mean
+            out = fit_iterative(
                 self.kernel, self.x_train, self.y_train, key,
-                config=self.config, **kwargs,
+                config=self.config, mean=mean, **kwargs,
             )
+            if mean is not None:
+                kp, mp, noise, hist = out
+            else:
+                (kp, noise, hist), mp = out, {}
             self.kernel_params, self.noise = kp, noise
-            self.mean_params = {}
-            return FitResult(kp, {}, noise, float(hist[0]), float(hist[-1]), hist)
+            self.mean_params = mp
+            return FitResult(kp, mp, noise, float(hist[0]), float(hist[-1]), hist)
         res = _fit(
             self.kernel, self.x_train, self.y_train,
             mean=self.mean, config=self.config, **kwargs,
@@ -231,7 +264,7 @@ class GaussianProcess:
             # (GaussianProcess.py:48-49)
             self.noise = jnp.asarray(self.config.jitter, self.x_train.dtype)
 
-    def posterior(self, x_test, full_cov: bool = False):
+    def posterior(self, x_test, full_cov: bool = False, method: str = "auto"):
         self._ensure_params()
         if self.approximation is not None and not full_cov:
             # projected-process predictive through the fitted inducing set —
@@ -251,7 +284,7 @@ class GaussianProcess:
         return posterior(
             self.kernel, self.kernel_params, self.x_train, self.y_train, x_test,
             self.noise, self.config.jitter, self.mean, self.mean_params,
-            full_cov=full_cov,
+            full_cov=full_cov, method=method,
         )
 
     def predict(self, x_test):

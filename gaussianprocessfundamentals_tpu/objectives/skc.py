@@ -30,9 +30,30 @@ from gaussianprocessfundamentals_tpu.linalg.nystroem import (
 
 
 def skc_upper_bound(
-    kernel, params, x, y, z, noise, jitter: float, num_iters: int = 10
+    kernel, params, x, y, z, noise, jitter: float, num_iters: int = 10,
+    _allow_unsound: bool = False,
 ) -> jnp.ndarray:
-    """Upper bound on the log marginal likelihood (larger = looser)."""
+    """Upper bound on the log marginal likelihood (larger = looser).
+
+    IMPORTANT — ``num_iters`` must stay ≤ 10 (the reference's own inner-SGD
+    budget, ``SkcLogLikelihood.py:53-69``): the early stopping of the inner
+    quadratic minimisation is LOAD-BEARING for the upper-bound property.
+    The r4 adversarial measurement (``tests/test_block_cholesky.py::
+    test_skc_upper_bound_adversarial``) shows the inner CG converging at
+    ≥ 20 iterations undershoots the true data fit and VIOLATES the bound by
+    up to −3019 at σ² = 1e-6. Values above 10 raise — pass
+    ``num_iters=10`` and tighten via more inducing points instead
+    (``_allow_unsound=True`` bypasses the guard for the adversarial tests
+    that pin the violation).
+    """
+    if num_iters > 10 and not _allow_unsound:
+        raise ValueError(
+            f"skc_upper_bound(num_iters={num_iters}): more than 10 inner CG "
+            "steps converges the inner quadratic and BREAKS the upper-bound "
+            "property (measured violations up to -3019 at sigma^2=1e-6, r4 "
+            "adversarial test). Use num_iters <= 10; tighten the bound with "
+            "more inducing points, not more inner iterations."
+        )
     n = x.shape[0]
     state = nystroem_factor(kernel, params, x, z, noise, jitter)
 

@@ -180,7 +180,7 @@ def _leaf_param_names(kind: str):
         "mat32": ("lengthscale",),
         "mat52": ("lengthscale",),
         "rq": ("lengthscale", "alpha"),
-        "const": ("value",),
+        "const": ("c",),
     }[kind]
 
 
@@ -342,7 +342,7 @@ def _compile_tile_eval(kernel, params, d: int):
             elif kind == "const":
                 out = jnp.full(
                     (x1.shape[0], x2t.shape[1]), 1.0, x1.dtype
-                ) * get("value")
+                ) * get("c")
             else:  # pragma: no cover
                 raise AssertionError(kind)
             if getattr(k, "scaled", False):
@@ -541,14 +541,29 @@ def _route_ok(kernel, params, x, interpret):
     return True
 
 
+def _wn_exact_matvec(x, V, wn):
+    """wn·Eq@V with Eq the EXACT row-coincidence Gram — one streamed boolean
+    pass (no transcendentals). Equals wn·V only when x has no duplicate
+    rows; using plain wn·V here while the gradient path
+    (:func:`expr_lowrank_vjp_for`) uses the exact Eq made forward and
+    gradient mutually inconsistent under duplicated inputs (r4 ADVICE #1 —
+    the same duplicated-rows bug the exact-equality WhiteNoise fix closed)."""
+    from gaussianprocessfundamentals_tpu.kernels.leaves import WhiteNoiseKernel
+    from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
+        streamed_gram_matvec,
+    )
+
+    return wn * streamed_gram_matvec(WhiteNoiseKernel(), {}, x, V, 4096)
+
+
 def expr_matvec_for(kernel, params, x, interpret: bool = False):
     """``V -> K(x,x)@V`` for supported composites (WhiteNoise at root Sum
-    handled algebraically), else None."""
+    handled via the exact-coincidence Gram), else None."""
     if not _route_ok(kernel, params, x, interpret):
         return None
     core, core_p, wn = split_white_noise(kernel, params)
     if core is None:
-        return lambda V: wn * V
+        return lambda V: _wn_exact_matvec(x, V, wn)
     if not supported_expr(core, core_p, x.shape[-1]):
         return None
 
@@ -556,7 +571,7 @@ def expr_matvec_for(kernel, params, x, interpret: bool = False):
         out = expr_gram_matvec_cross(core, core_p, x, x, V,
                                      interpret=interpret)
         if not (isinstance(wn, float) and wn == 0.0):
-            out = out + wn * V
+            out = out + _wn_exact_matvec(x, V, wn)
         return out
 
     return mv

@@ -74,7 +74,7 @@ import pytest
 
 
 @pytest.mark.parametrize("m", [10, 25, 50])
-@pytest.mark.parametrize("num_iters", [3, 10, 20])
+@pytest.mark.parametrize("num_iters", [3, 10])
 def test_skc_bounds_sandwich_exact(m, num_iters):
     """Sandwich across inducing counts AND inner iteration budgets: the upper
     bound's load-bearing piece is the EARLY-STOPPED inner optimisation (see
@@ -133,11 +133,58 @@ def test_skc_upper_bound_adversarial(noise):
             f"bound violated at reference budget: noise={noise} "
             f"iters={num_iters} margin={upper - exact:.4g}"
         )
+    # num_iters > 10 is guarded by default (r4 ADVICE #3): the API refuses
+    # to hand out a silently-non-upper "upper bound"
+    with pytest.raises(ValueError):
+        skc_upper_bound(k, p, x, y, z, noise, 1e-8, num_iters=20)
     # over-optimised inner problem: documented bound breakdown at tiny noise
-    upper40 = float(skc_upper_bound(k, p, x, y, z, noise, 1e-8, num_iters=40))
+    # (reachable only through the explicit unsound escape hatch)
+    upper40 = float(skc_upper_bound(k, p, x, y, z, noise, 1e-8, num_iters=40,
+                                    _allow_unsound=True))
     assert np.isfinite(upper40)
     if noise <= 1e-4:
         assert upper40 - exact < 0.0, (
             "expected documented violation vanished -- margin "
             f"{upper40 - exact:.4g}; update skc.py guidance"
         )
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_unrolled_block_cholesky_matches_lapack(P):
+    """r5 fast path (statically-unrolled panels + cached diag inverses +
+    matmul-only substitutions) must match LAPACK exactly on the CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gaussianprocessfundamentals_tpu.parallel.block_cholesky import (
+        distributed_chol_solve_inv,
+        distributed_cholesky_factor,
+        distributed_nll,
+        from_cyclic_blocks,
+    )
+
+    rng_l = np.random.default_rng(0)
+    n, B = 512, 64
+    mesh = Mesh(np.array(jax.devices()[:P]), ("tp",))
+    A = rng_l.standard_normal((n, n))
+    K = A @ A.T / n + np.eye(n)
+    y = rng_l.standard_normal(n)
+    L, Linv, logdet = distributed_cholesky_factor(jnp.asarray(K), mesh, "tp", B)
+    Lt = np.linalg.cholesky(K)
+    np.testing.assert_allclose(
+        np.tril(np.asarray(from_cyclic_blocks(L, P))), Lt, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(logdet), 2 * np.sum(np.log(np.diag(Lt))), rtol=1e-12
+    )
+    al = distributed_chol_solve_inv(L, Linv, jnp.asarray(y), mesh, "tp", B)
+    np.testing.assert_allclose(
+        np.asarray(al), np.linalg.solve(K, y), atol=1e-10
+    )
+    nll_fast = float(distributed_nll(
+        jnp.asarray(K), jnp.asarray(y), 0.0, 0.0, mesh, "tp", B, unroll=True
+    ))
+    nll_ref = float(distributed_nll(
+        jnp.asarray(K), jnp.asarray(y), 0.0, 0.0, mesh, "tp", B
+    ))
+    np.testing.assert_allclose(nll_fast, nll_ref, rtol=1e-12)

@@ -260,3 +260,100 @@ def test_build_preconditioner_spd_and_inverse():
     ) @ np.asarray(A, np.float64).T
     want = float(np.linalg.slogdet(Pd)[1])
     np.testing.assert_allclose(float(log_P), want, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# r5: f64-grade posterior variance (df32 energy form) — the last north-star
+# parity clause (reference f64 variance, Statistics/Auxiliary.py:83-103)
+# ---------------------------------------------------------------------------
+
+
+def test_df32_dot_resolves_cancellation():
+    """df32 dot must resolve a 100k-term cancelling sum to ~1e-12 where
+    naive f32 is ~1e-4."""
+    from gaussianprocessfundamentals_tpu.linalg.df32 import df_dot, two_prod
+
+    rng_l = np.random.default_rng(0)
+    n = 100_000
+    a = rng_l.standard_normal(n)
+    b = rng_l.standard_normal(n)
+    b -= (a @ b) / (a @ a) * a  # true dot ~ 0
+    a32, b32 = jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+    true = np.dot(np.asarray(a32, np.float64), np.asarray(b32, np.float64))
+    h, l = df_dot(a32, b32)
+    assert abs(float(np.float64(h) + np.float64(l)) - true) < 1e-9
+    # two_prod is EXACT (error-free transform)
+    p, e = two_prod(a32[:1000], b32[:1000])
+    exact = np.asarray(a32[:1000], np.float64) * np.asarray(b32[:1000], np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    assert np.max(np.abs(got - exact)) == 0.0
+
+
+def test_iterative_variance_f64_grade_adversarial_density():
+    """f32 iterative posterior variances vs a dense f64 oracle at a density
+    where the true variance (~2e-5·k_ii) sits far below the old naive-f32
+    floor (~1e-3·k_ii, r4 BENCHMARKS). The energy-form df32 path must land
+    within 1e-5·k_ii absolute."""
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_posterior,
+    )
+    import scipy.linalg as sla
+
+    n = 4096
+    rng_l = np.random.default_rng(0)
+    x64 = np.sort(rng_l.uniform(0, 1, n))[:, None]
+    noise = 1e-2
+    k = gpf.SquaredExponentialKernel()
+    p64 = {"lengthscale": jnp.asarray(0.3)}
+    xs64 = np.linspace(0.05, 0.95, 64)[:, None]
+    y64 = np.sin(2 * np.pi * 2 * x64[:, 0]) + 0.1 * rng_l.standard_normal(n)
+
+    K = np.asarray(k.gram(p64, jnp.asarray(x64), jnp.asarray(x64)), np.float64)
+    Ks = np.asarray(k.gram(p64, jnp.asarray(x64), jnp.asarray(xs64)), np.float64)
+    L = np.linalg.cholesky(K + noise * np.eye(n))
+    V = sla.solve_triangular(L, Ks, lower=True)
+    var_true = 1.0 - np.sum(V * V, axis=0)
+    assert var_true.max() < 1e-4  # genuinely adversarial density
+
+    p32 = {"lengthscale": jnp.asarray(0.3, jnp.float32)}
+    _, var_it = iterative_posterior(
+        k, p32, jnp.asarray(x64, jnp.float32), jnp.asarray(y64, jnp.float32),
+        jnp.asarray(xs64, jnp.float32), jnp.float32(noise),
+        max_iters=300, block=2048, tol=1e-7, precond_m=128,
+    )
+    err = np.abs(np.asarray(var_it, np.float64) - var_true)
+    assert err.max() < 1e-5, err.max()
+
+
+def test_iterative_variance_vs_toeplitz_oracle_16k():
+    """f32 iterative posterior (generic streamed-matvec path) vs the
+    independent f64 Toeplitz/FFT CPU oracle at n=16,384 — the CI-scale
+    version of the on-TPU n=50k gate check (benchmarks/check_pallas_tpu.py).
+    Bar: ≤1e-3·k_ii (north star); measured headroom ~70× (r5)."""
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_posterior,
+    )
+    from gaussianprocessfundamentals_tpu.utils.toeplitz_oracle import (
+        se_grid_posterior_oracle,
+    )
+
+    n, ell, noise = 16_384, 0.05, 1e-2
+    rng_l = np.random.default_rng(1)
+    xs = rng_l.uniform(0.05, 0.95, 32)
+    g = np.arange(n) / (n - 1)
+    y = np.sin(2 * np.pi * 3 * g) + 0.1 * rng_l.standard_normal(n)
+    mu_t, var_t, rel = se_grid_posterior_oracle(n, ell, noise, xs, y)
+    assert rel < 1e-10  # oracle itself must be converged
+    assert var_t.max() < 1e-4  # cancellation regime
+
+    k = gpf.SquaredExponentialKernel()
+    p32 = {"lengthscale": jnp.asarray(ell, jnp.float32)}
+    _, var_it = iterative_posterior(
+        k, p32, jnp.asarray(g.astype(np.float32)[:, None]),
+        jnp.asarray(y, jnp.float32), jnp.asarray(xs[:, None], jnp.float32),
+        jnp.float32(noise), max_iters=100, block=4096, tol=1e-7,
+        precond_m=256,
+    )
+    err = np.abs(np.asarray(var_it, np.float64) - var_t)
+    assert err.max() < 1e-3, err.max()   # north-star bar
+    assert err.max() < 5e-5, err.max()   # measured r5 headroom, with margin

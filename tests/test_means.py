@@ -14,7 +14,7 @@ def test_zero_and_constant():
     np.testing.assert_allclose(np.asarray(gpf.ZeroMean().mean({}, X)), 0.0)
     m = gpf.ConstantMean()
     np.testing.assert_allclose(
-        np.asarray(m.mean({"value": jnp.asarray(2.5)}, X)), 2.5
+        np.asarray(m.mean({"c": jnp.asarray(2.5)}, X)), 2.5
     )
 
 
@@ -53,7 +53,7 @@ def test_mean_operators():
     s = a + b
     p = {
         "children": (
-            {"value": jnp.asarray(1.0)},
+            {"c": jnp.asarray(1.0)},
             {"slope": jnp.asarray([2.0])},
         )
     }
@@ -78,7 +78,7 @@ def test_detrending_in_posterior():
     )
     gp.set_data(jnp.asarray(x), jnp.asarray(y))
     gp.kernel_params = {"lengthscale": jnp.asarray(0.2)}
-    gp.mean_params = {"value": jnp.asarray(5.0)}
+    gp.mean_params = {"c": jnp.asarray(5.0)}
     gp.noise = 1e-6
     full_mu, mean_mu, post_mu = gp.predict(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(mean_mu), 5.0)
@@ -91,7 +91,7 @@ def test_mean_changepoint():
     MeanFunctionBasics/MeanFunction.py:15-28)."""
     m = gpf.MeanChangePoint(children=(gpf.ConstantMean(), gpf.ConstantMean()))
     p = m.init_params([[0.0, 1.0]], 10)
-    p["children"] = ({"value": jnp.asarray(-1.0)}, {"value": jnp.asarray(2.0)})
+    p["children"] = ({"c": jnp.asarray(-1.0)}, {"c": jnp.asarray(2.0)})
     p["locations"] = jnp.asarray([0.5])
     x = jnp.array([[0.1], [0.9]])
     got = np.asarray(m.mean(p, x))
