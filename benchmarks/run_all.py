@@ -209,7 +209,13 @@ def bench_nuts(n, chains, dtype):
     accepts = [res.accept_stat]
     q_last = jax.tree_util.tree_map(lambda l: l[:, -1], res.samples)
     t1 = time.perf_counter()
-    n_seg = 4
+    # r5 (VERDICT #4): enough resumed segments to close R̂ ≤ 1.01. The first
+    # ``burn_seg`` post-warmup segments are treated as EXTENDED BURN-IN and
+    # excluded from the R̂/ESS window (standard practice — the r4 trajectory
+    # 1.25 → 1.07 → 1.033 shows early post-warmup draws still carry init
+    # bias); the report states the window explicitly.
+    n_seg = 12
+    burn_seg = 3
     for i in range(n_seg):
         res2 = gpf.nuts_chains_resume(
             logprob, q_last, jr.split(jr.PRNGKey(100 + i), chains),
@@ -230,12 +236,13 @@ def bench_nuts(n, chains, dtype):
     )
 
     total = num * (1 + n_seg)
+    kept = num * (1 + n_seg - burn_seg)
     all_samples = jax.tree_util.tree_map(
         lambda *ls: np.concatenate([np.asarray(l) for l in ls], axis=1),
-        *seg_samples,
+        *seg_samples[burn_seg:],
     )
     traces = [
-        np.asarray(l).reshape(chains, total)
+        np.asarray(l).reshape(chains, kept)
         for l in jax.tree_util.tree_leaves(all_samples)
     ]
     ess = [float(effective_sample_size(jnp.asarray(t), max_lag=200))
@@ -243,13 +250,15 @@ def bench_nuts(n, chains, dtype):
     rhat = [float(potential_scale_reduction(jnp.asarray(t))) for t in traces]
     return {"config": "nuts_matern52", "n": n, "chains": chains,
             "total_samples_per_chain": total,
+            "kept_samples_per_chain": kept,
+            "burn_in_segments": burn_seg,
             "samples_per_s": round(chains * num / dt, 1),
             "samples_per_s_steady": round(chains * num / dt_steady, 1),
             "accept": round(float(np.mean([np.asarray(a).mean()
                                            for a in accepts])), 2),
             "min_ess": round(min(ess), 1),
             "min_ess_per_s": round(min(ess) / (dt + n_seg * dt_steady), 2),
-            "max_rhat": round(max(rhat), 3)}
+            "max_rhat": round(max(rhat), 4)}
 
 
 def bench_svgp(n, m, steps, dtype):

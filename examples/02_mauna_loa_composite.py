@@ -1,8 +1,11 @@
 """BASELINE config 2: composite kernel grammar on Mauna Loa CO₂.
 
 Kernel: SE·PER (seasonal) + SE (trend) + LIN (drift) + WN — the classic
-composite structure the reference's grammar exists for. Uses the real CSV when
-present under data/csv, synthetic Mauna-Loa-shaped data otherwise.
+composite structure the reference's grammar exists for. Loads
+``data/d2_mauna_loa.csv`` (r5: a documented reconstruction of the real NOAA
+monthly record — provenance in ``data/make_mauna_loa.py``; drop the canonical
+NOAA CSV at the same path for exact parity), falling back to synthetic
+Mauna-Loa-shaped data only if the CSV is removed.
 """
 import time
 
