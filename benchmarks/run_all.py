@@ -214,8 +214,8 @@ def bench_nuts(n, chains, dtype):
     # excluded from the R̂/ESS window (standard practice — the r4 trajectory
     # 1.25 → 1.07 → 1.033 shows early post-warmup draws still carry init
     # bias); the report states the window explicitly.
-    n_seg = 12
-    burn_seg = 3
+    n_seg = 52
+    burn_seg = 8
     for i in range(n_seg):
         res2 = gpf.nuts_chains_resume(
             logprob, q_last, jr.split(jr.PRNGKey(100 + i), chains),

@@ -505,7 +505,13 @@ def _fit_iterative_routed(
         init_noise=init_noise, xrange=xrange, mean=mean,
         enforce_bounds=enforce_bounds, return_diagnostics=True, **kw,
     )
-    if restarts > 0 and kw.get("mesh") is None:
+    vmappable = (
+        restarts > 0
+        and kw.get("mesh") is None
+        and kw.get("materialize", x.shape[0] <= 40_000) is not False
+        and x.shape[0] <= 40_000
+    )
+    if vmappable:
         res = fit_iterative(
             kernel, x, y, key, restarts=restarts, **common
         )

@@ -104,9 +104,13 @@ def build_preconditioner(kernel, kernel_params, x, m: int, noise,
     n = x.shape[0]
     noise = jnp.asarray(noise, x.dtype)
     hp = jax.lax.Precision.HIGHEST
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import tall_qr
+
     A = partial_pivoted_cholesky(kernel, kernel_params, x, m)  # P=σ²I+AAᵀ
     A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
-    Q, Rr = jnp.linalg.qr(A)  # Q [n, m], Rr [m, m]
+    # tall_qr, not jnp.linalg.qr: batched Householder QR at large n is ~18×
+    # slower under the restart-vmap (r5 measurement in tall_qr's docstring)
+    Q, Rr = tall_qr(A)  # Q [n, m], Rr [m, m]
     QtQ = jnp.matmul(Q.T, Q, precision=hp)
     Q = jnp.matmul(
         Q, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * QtQ, precision=hp
@@ -631,6 +635,18 @@ def fit_iterative(
                     "and mesh sharding compose as a dp×tp mesh — use "
                     "parallel.sharded.dp_restarts or run restarts "
                     "sequentially"
+                )
+            if not (materialize if materialize is not None
+                    else x.shape[0] <= 40_000):
+                # the STREAMING matvec's checkpoint+scan structure hits an
+                # MLIR lowering failure under vmap (jax cached-primitive
+                # KeyError, reproduced r5); callers above the materialize
+                # threshold run restarts sequentially (fit.fit does this
+                # automatically)
+                raise ValueError(
+                    "fit_iterative(restarts>0) requires the materialized-K "
+                    "matvec (n <= 40k single-chip); run restarts "
+                    "sequentially at streaming sizes"
                 )
             inits = [u] + [
                 make_u0(jr.fold_in(key, 0xA110 + i)) for i in range(restarts)
