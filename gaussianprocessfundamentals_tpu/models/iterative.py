@@ -633,8 +633,8 @@ def fit_iterative(
                 raise ValueError(
                     "fit_iterative(restarts>0, mesh=...): vmapped restarts "
                     "and mesh sharding compose as a dp×tp mesh — use "
-                    "parallel.sharded.dp_restarts or run restarts "
-                    "sequentially"
+                    "parallel.sharded.restart_sharded_fit_step or run "
+                    "restarts sequentially"
                 )
             if not (materialize if materialize is not None
                     else x.shape[0] <= 40_000):
@@ -932,14 +932,16 @@ def iterative_posterior_chunked(
     # sits at/below the f32 kernel-entry resolution floor, the reported
     # value is noise-dominated — say so instead of silently plotting ±2σ
     # bands of representation noise
-    n_floored = int(jnp.sum(var <= floor))
-    if n_floored:
+    n_floored, floor_max = jax.device_get(
+        (jnp.sum(var <= floor), jnp.max(floor))
+    )  # ONE host round trip (tunnel transfers cost ~28 ms each)
+    if int(n_floored):
         import warnings
 
         warnings.warn(
-            f"posterior variances at {n_floored}/{t} test points are at or "
-            "below the f32 kernel-entry resolution floor "
-            f"(~{float(jnp.max(floor)):.1e}); reported sds there are "
+            f"posterior variances at {int(n_floored)}/{t} test points are "
+            "at or below the f32 kernel-entry resolution floor "
+            f"(~{float(floor_max):.1e}); reported sds there are "
             "resolution-limited (training density is extreme relative to "
             "f32 precision).",
             stacklevel=2,

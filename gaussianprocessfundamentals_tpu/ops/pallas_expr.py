@@ -542,18 +542,32 @@ def _route_ok(kernel, params, x, interpret):
 
 
 def _wn_exact_matvec(x, V, wn):
-    """wn·Eq@V with Eq the EXACT row-coincidence Gram — one streamed boolean
-    pass (no transcendentals). Equals wn·V only when x has no duplicate
-    rows; using plain wn·V here while the gradient path
-    (:func:`expr_lowrank_vjp_for`) uses the exact Eq made forward and
-    gradient mutually inconsistent under duplicated inputs (r4 ADVICE #1 —
-    the same duplicated-rows bug the exact-equality WhiteNoise fix closed)."""
-    from gaussianprocessfundamentals_tpu.kernels.leaves import WhiteNoiseKernel
-    from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
-        streamed_gram_matvec,
+    """wn·Eq@V with Eq the EXACT row-coincidence Gram (Eq_ij = 1 iff
+    x_i ≡ x_j, self included), in O(n log n + n·r): lexsort rows so equal
+    rows are adjacent, segment-sum V per group, broadcast back. Equals wn·V
+    only when x has no duplicate rows; using plain wn·V here while the
+    gradient path (:func:`expr_lowrank_vjp_for`) uses the exact Eq made
+    forward and gradient mutually inconsistent under duplicated inputs (r4
+    ADVICE #1). The earlier O(n²) streamed-equality pass doubled every
+    matvec's cost for WN-bearing kernels (r5 review) — the sort form is
+    exact at negligible cost."""
+    n, d = x.shape
+    vec = V.ndim == 1
+    Vm = V[:, None] if vec else V
+    order = jnp.lexsort(tuple(x[:, k] for k in reversed(range(d))))
+    xs = x[order]
+    new_group = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        jnp.any(xs[1:] != xs[:-1], axis=-1).astype(jnp.int32),
+    ])
+    seg = jnp.cumsum(new_group) - 1  # [n] group ids, sorted
+    sums = jax.ops.segment_sum(
+        Vm[order], seg, num_segments=n, indices_are_sorted=True
     )
-
-    return wn * streamed_gram_matvec(WhiteNoiseKernel(), {}, x, V, 4096)
+    out_sorted = sums[seg]  # every member gets its group's sum
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    out = out_sorted[inv]
+    return wn * (out[:, 0] if vec else out)
 
 
 def expr_matvec_for(kernel, params, x, interpret: bool = False):

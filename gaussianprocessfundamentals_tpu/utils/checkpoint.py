@@ -74,6 +74,12 @@ def load(path: str, dtype=None) -> Tuple[Kernel, Any, Optional[MeanFunction], An
         leaves = []
         for p, leaf in flat:
             key = prefix + "/".join(str(q) for q in p)
+            if key not in data and "['c']" in key:
+                # pre-r5 checkpoints stored the Constant kernel/mean param
+                # under its old name "value" (renamed to "c" because a leaf
+                # literally named "value" collides with optax's linesearch
+                # state lookup) — migrate on read
+                key = key.replace("['c']", "['value']")
             arr = data[key]
             leaves.append(jnp.asarray(arr, dtype if dtype is not None else arr.dtype))
         return jax.tree_util.tree_unflatten(treedef, leaves)
