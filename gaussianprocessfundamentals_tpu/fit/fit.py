@@ -598,7 +598,8 @@ def fit(
     mean = mean if mean is not None else ZeroMean(dim=x.shape[-1])
     if xrange is None:
         xrange = jnp.stack([x.min(axis=0), x.max(axis=0)], axis=-1)
-    n = x.shape[0]
+    n = x.shape[-2]  # rows per instance (leading dims = batched problems)
+    batch = int(np.prod(x.shape[:-2])) if x.ndim > 2 else 1
     dtype = x.dtype
     # What the iterative (mBCG+SLQ, factorisation-free) route can express:
     # since r5 that includes ANY mean function (per-step detrending + exact
@@ -614,6 +615,7 @@ def fit(
             ("optimize_inducing", optimize_inducing),
             ("custom gram_fn", gram_fn is not None),
             ("fixed noise < 1e-6", not optimize_noise and float(noise) < 1e-6),
+            ("batched (instance-stacked) input", x.ndim != 2),
         )
         if cond
     ]
@@ -624,7 +626,7 @@ def fit(
     # objectives never materialise [n, n] (O(n·m) working set), so the guard
     # does not apply to them. When the dense set cannot fit the HBM budget,
     # speed crossovers are irrelevant: dense must not run.
-    dense_bytes = (3 + (kfold if kfold > 1 else 0)) * n * n * jnp.dtype(
+    dense_bytes = (3 + (kfold if kfold > 1 else 0)) * batch * n * n * jnp.dtype(
         dtype
     ).itemsize
     dense_feasible = (

@@ -249,7 +249,12 @@ def tall_qr(A: jnp.ndarray, max_rows: int = 4096):
     if npad > n:
         A = jnp.concatenate([A, jnp.zeros((npad - n, m), A.dtype)], 0)
     blocks = A.reshape(nb, max_rows, m)
-    Qs, Rs = jax.vmap(jnp.linalg.qr)(blocks)  # [nb, max_rows, m], [nb, m, m]
+    # lax.map, NOT vmap: the block QRs would otherwise re-enter the
+    # batched-QR slow path at large nb (measured r5: n=200k/m=256 → nb=49
+    # batched [4096,256] QRs cost seconds; the sequential pipeline is ms).
+    # Under an OUTER vmap (restarts) this becomes a scan whose body is a
+    # small-row batched QR — the fast batched regime.
+    Qs, Rs = jax.lax.map(jnp.linalg.qr, blocks)  # [nb, max_rows, m], [nb, m, m]
     Q2, R = jnp.linalg.qr(Rs.reshape(nb * m, m))
     Q = jnp.matmul(
         Qs, Q2.reshape(nb, m, m), precision=hp

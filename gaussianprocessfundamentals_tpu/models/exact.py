@@ -81,7 +81,11 @@ def posterior(
     want_iterative = method == "iterative" or (
         method == "auto" and n >= _AUTO_ITERATIVE_POST_N
     )
-    if want_iterative and isinstance(x_train, jax.core.Tracer):
+    if want_iterative and (
+        isinstance(x_train, jax.core.Tracer)
+        or isinstance(x_test, jax.core.Tracer)
+        or isinstance(y_train, jax.core.Tracer)
+    ):
         # the chunked route is a HOST-level loop of separate device programs;
         # under an outer jit it would unroll into one giant program (the
         # TPU-worker-crash class). Surface that instead of compiling it.

@@ -844,9 +844,29 @@ def iterative_posterior(
     return mu, var
 
 
-@partial(jax.jit, static_argnames=("kernel", "m", "max_iters", "block"))
+def _posterior_matvec(kernel, kernel_params, x, noise, block, mesh,
+                      mesh_axis):
+    """Kₙ·V operator for the posterior programs: mesh-sharded streaming
+    matvec when a mesh is given (prediction scales over chips exactly like
+    training), streamed/materialise-free single-chip otherwise."""
+    if mesh is not None:
+        from gaussianprocessfundamentals_tpu.parallel.mesh_matvec import (
+            mesh_gram_matvec,
+        )
+
+        return lambda V: (
+            mesh_gram_matvec(kernel, kernel_params, x, V, mesh, mesh_axis,
+                             block) + noise * V
+        )
+    return lambda V: (
+        gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+    )
+
+
+@partial(jax.jit, static_argnames=("kernel", "m", "max_iters", "block",
+                                   "mesh", "mesh_axis"))
 def _posterior_setup(kernel, kernel_params, x, y, noise, m, max_iters,
-                     block, tol):
+                     block, tol, mesh=None, mesh_axis: str = "tp"):
     """One device program: preconditioner build + the single y-solve.
     ``m == 0`` degrades to the σ²-scaled identity (W_b = 0 basis)."""
     n = x.shape[0]
@@ -858,18 +878,21 @@ def _posterior_setup(kernel, kernel_params, x, y, noise, m, max_iters,
         W_b = jnp.zeros((n, 1), x.dtype)
         d_rng = jnp.zeros((1,), x.dtype)
         P_inv = lambda V: apply_P_inv(W_b, d_rng, noise, V)
-    matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+    matvec = _posterior_matvec(kernel, kernel_params, x, noise, block, mesh,
+                               mesh_axis)
     res = mbcg(matvec, y[:, None], max_iters=max_iters, tol=tol,
                precond=P_inv, early_exit=True)
     return res.solves[:, 0], W_b, d_rng
 
 
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "block"))
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "block", "mesh",
+                                   "mesh_axis"))
 def _posterior_chunk(kernel, kernel_params, x, alpha, xt, noise, W_b, d_rng,
-                     max_iters, block, tol):
+                     max_iters, block, tol, mesh=None, mesh_axis: str = "tp"):
     """One device program per test-point chunk, REUSING the prebuilt
     preconditioner basis and y-solve."""
-    matvec = lambda V: gram_matvec(kernel, kernel_params, x, V, block) + noise * V
+    matvec = _posterior_matvec(kernel, kernel_params, x, noise, block, mesh,
+                               mesh_axis)
     P_inv = lambda V: apply_P_inv(W_b, d_rng, noise, V)
     K_s = kernel.gram(kernel_params, x, xt)  # [n, c]
     res = mbcg(matvec, K_s, max_iters=max_iters, tol=tol, precond=P_inv,
@@ -885,7 +908,7 @@ def _posterior_chunk(kernel, kernel_params, x, alpha, xt, noise, W_b, d_rng,
 def iterative_posterior_chunked(
     kernel, kernel_params, x, y, x_test, noise,
     max_iters: int = 100, block: int = 2048, tol: float = 1e-6,
-    precond_m: int = 128, chunk: int = 256,
+    precond_m: int = 128, chunk: int = 256, mesh=None, mesh_axis: str = "tp",
 ):
     """(μ*, var*) for LARGE n·t: test points solved in host-level chunks of
     ``chunk`` columns, each a SEPARATE moderate-size device program.
@@ -902,10 +925,17 @@ def iterative_posterior_chunked(
     loop back into one giant program — callers (``models.exact.posterior``)
     stay un-jitted on this path.
     """
+    if any(isinstance(a, jax.core.Tracer) for a in (x, y, x_test)):
+        raise ValueError(
+            "iterative_posterior_chunked is a HOST-level loop of separate "
+            "device programs and cannot run under jit/trace — call it "
+            "un-jitted (models.exact.posterior guards this at the facade)"
+        )
     noise = jnp.asarray(noise, x.dtype)
     m = min(precond_m, x.shape[0]) if precond_m > 0 else 0
     alpha, W_b, d_rng = _posterior_setup(
-        kernel, kernel_params, x, y, noise, m, max_iters, block, tol
+        kernel, kernel_params, x, y, noise, m, max_iters, block, tol,
+        mesh, mesh_axis,
     )
     t = x_test.shape[0]
     cw = min(chunk, t)
@@ -919,7 +949,7 @@ def iterative_posterior_chunked(
             )
         mu_c, var_c, floor_c = _posterior_chunk(
             kernel, kernel_params, x, alpha, xt, noise, W_b, d_rng,
-            max_iters, block, tol,
+            max_iters, block, tol, mesh, mesh_axis,
         )
         if pad:
             mu_c, var_c, floor_c = mu_c[:-pad], var_c[:-pad], floor_c[:-pad]

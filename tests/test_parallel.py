@@ -330,3 +330,30 @@ def test_mesh_early_exit_stops_and_matches(key):
         float(g_ee["lengthscale"]), float(g_fx["lengthscale"]), rtol=1e-5
     )
     np.testing.assert_allclose(float(gn_ee), float(gn_fx), rtol=1e-5)
+
+
+def test_iterative_posterior_chunked_mesh_matches_single():
+    """r5: the chunked posterior runs its solves over a mesh (prediction
+    scales over chips like training) and matches the single-device result."""
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        iterative_posterior_chunked,
+    )
+
+    rng_l = np.random.default_rng(0)
+    n = 2000
+    x = jnp.asarray(np.sort(rng_l.uniform(0, 1, (n, 1)), 0), jnp.float32)
+    y = jnp.asarray(np.sin(6 * np.asarray(x)[:, 0])
+                    + 0.1 * rng_l.standard_normal(n), jnp.float32)
+    xs = jnp.asarray(rng_l.uniform(0.1, 0.9, (40, 1)), jnp.float32)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.float32(0.2)}
+    mu0, v0 = iterative_posterior_chunked(
+        k, p, x, y, xs, jnp.float32(0.01), block=512, precond_m=64,
+    )
+    mesh = single_axis_mesh("tp")
+    mu1, v1 = iterative_posterior_chunked(
+        k, p, x, y, xs, jnp.float32(0.01), block=512, precond_m=64,
+        mesh=mesh, mesh_axis="tp",
+    )
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-6)
