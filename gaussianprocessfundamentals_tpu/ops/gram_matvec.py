@@ -59,6 +59,18 @@ def gram_matvec(
         fused = fused_matvec_for(kernel, params, x)
         if fused is not None:
             return fused(V)
+    if x.shape[0] >= _SYM_MIN_N and os.environ.get("GPF_SYM"):
+        # OPT-IN (GPF_SYM=1): halves kernel-entry evaluations but measured
+        # r5 only 1.02–1.09× end-to-end (50k/100k/200k) — under XLA the K
+        # tile feeds TWO consumers (K·V_j and Kᵀ·V_i) and therefore cannot
+        # stay fused; the [blk, blk] tile's HBM round trip (~157 GB at
+        # n=200k) eats the transcendental savings. A genuinely-fused
+        # symmetric pass needs a Pallas tile applying both contractions
+        # in-VMEM (future work); until then the full-row streamed form
+        # stays default.
+        return streamed_gram_matvec_symmetric(
+            kernel, params, x, V, max(block, 4096)
+        )
     return streamed_gram_matvec(kernel, params, x, V, block)
 
 
@@ -125,6 +137,63 @@ def streamed_gram_matvec_cross(
 
     out = jax.lax.map(one, x_blocks)  # [nb, blk, r]
     return out.reshape(nb * blk, -1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "block"))
+def streamed_gram_matvec_symmetric(
+    kernel, params: Any, x: jnp.ndarray, V: jnp.ndarray, block: int = 4096
+) -> jnp.ndarray:
+    """K(x,x) @ V exploiting SYMMETRY: only the upper-triangle tile grid is
+    built, each off-diagonal tile serving two contractions (out_i += K·V_j
+    and out_j += Kᵀ·V_i).
+
+    The square streamed matvec is TRANSCENDENTAL-roofline-bound at large n
+    (r5 profile: N=200k SE matvec 0.25 s ≈ 4e10 exp evaluations at the VPU
+    exp rate), so halving the kernel-entry evaluations is the one remaining
+    single-chip lever: tiles evaluated = nb(nb+1)/2 of nb² — a →2× saving as
+    nb grows (measured on-chip at N=100k/200k: 1.47×/1.7× vs the full-row
+    streamed form). Zero-padded rows are harmless: pad rows of V are zero
+    (no contribution into valid rows) and pad OUTPUT rows are sliced off.
+    """
+    import numpy as np
+
+    n = x.shape[0]
+    r = V.shape[1]
+    blk = min(block, max(n, 1))
+    xp, nb, _ = _pad_rows(x, blk)
+    Vp, _, _ = _pad_rows(V, blk)
+    x_blocks = xp.reshape(nb, blk, x.shape[-1])
+    V_blocks = Vp.reshape(nb, blk, r)
+    ii, jj = np.triu_indices(nb)
+    pairs = jnp.asarray(np.stack([ii, jj], axis=1), jnp.int32)  # [T, 2]
+    hp = jax.lax.Precision.HIGHEST
+
+    def step(acc, pair):
+        i, j = pair[0], pair[1]
+        xi = jax.lax.dynamic_index_in_dim(x_blocks, i, keepdims=False)
+        xj = jax.lax.dynamic_index_in_dim(x_blocks, j, keepdims=False)
+        Vi = jax.lax.dynamic_index_in_dim(V_blocks, i, keepdims=False)
+        Vj = jax.lax.dynamic_index_in_dim(V_blocks, j, keepdims=False)
+        K = kernel.gram(params, xi, xj)  # [blk, blk]
+        out_i = jnp.matmul(K, Vj, precision=hp)
+        acc_i = jax.lax.dynamic_index_in_dim(acc, i, keepdims=False)
+        acc = jax.lax.dynamic_update_index_in_dim(acc, acc_i + out_i, i, 0)
+        # transpose contribution, skipped on diagonal tiles (already whole)
+        out_j = jnp.where(
+            i == j, 0.0, jnp.matmul(K.T, Vi, precision=hp)
+        )
+        acc_j = jax.lax.dynamic_index_in_dim(acc, j, keepdims=False)
+        acc = jax.lax.dynamic_update_index_in_dim(acc, acc_j + out_j, j, 0)
+        return acc, None
+
+    acc0 = jnp.zeros((nb, blk, r), V.dtype)
+    acc, _ = jax.lax.scan(step, acc0, pairs)
+    return acc.reshape(nb * blk, r)[:n]
+
+
+# symmetric-tile routing threshold: below this the (nb+1)/(2nb) work ratio
+# and the per-tile gather/scatter overhead eat the savings (A/B r5)
+_SYM_MIN_N = 32_768
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "block"))

@@ -357,3 +357,27 @@ def test_iterative_variance_vs_toeplitz_oracle_16k():
     err = np.abs(np.asarray(var_it, np.float64) - var_t)
     assert err.max() < 1e-3, err.max()   # north-star bar
     assert err.max() < 5e-5, err.max()   # measured r5 headroom, with margin
+
+
+def test_streamed_gram_matvec_symmetric_matches_full():
+    """Symmetry-exploiting tile matvec (opt-in GPF_SYM route) must equal the
+    full-row streamed form for leaf and composite kernels, any n/block."""
+    from gaussianprocessfundamentals_tpu.ops.gram_matvec import (
+        streamed_gram_matvec,
+        streamed_gram_matvec_symmetric,
+    )
+
+    rng_l = np.random.default_rng(0)
+    for n, blk in [(777, 128), (1024, 256)]:
+        x = jnp.asarray(np.sort(rng_l.uniform(0, 1, (n, 1)), 0))
+        V = jnp.asarray(rng_l.standard_normal((n, 5)))
+        a = streamed_gram_matvec(K_SE, P_SE, x, V, blk)
+        b = streamed_gram_matvec_symmetric(K_SE, P_SE, x, V, blk)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+    k2 = (gpf.SquaredExponentialKernel(scaled=True) * gpf.PeriodicKernel()
+          + gpf.LinearKernel())
+    xr = jnp.stack([x.min(0), x.max(0)], -1)
+    p2 = k2.init_params(xr, n)
+    a = streamed_gram_matvec(k2, p2, x, V, 256)
+    b = streamed_gram_matvec_symmetric(k2, p2, x, V, 256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
