@@ -52,6 +52,25 @@ def main():
           f"{len(devs)} devices): {nll:.1f}; compile+run {t1:.1f}s, "
           f"steady {t2*1e3:.0f}ms")
 
+    # r5 fast path: statically-unrolled factor + EXACT distributed posterior
+    # (matmul-only multi-RHS substitutions; 0.145 s factor at n=16,384 on a
+    # v5e vs 4.7 s for the fori_loop form — BENCHMARKS.md r5)
+    from gaussianprocessfundamentals_tpu.parallel.block_cholesky import (
+        distributed_posterior,
+    )
+
+    xs = jnp.linspace(0.05, 0.95, 64, dtype=jnp.float32)[:, None]
+    with mesh:
+        t0 = time.perf_counter()
+        mu, var = distributed_posterior(
+            k, p, x, y, xs, 0.01, 1e-6, mesh, block=args.block
+        )
+        mu.block_until_ready()
+        print(f"distributed exact posterior (64 test pts): "
+              f"{time.perf_counter()-t0:.1f}s incl compile; "
+              f"sd range [{float(jnp.sqrt(var).min()):.3f}, "
+              f"{float(jnp.sqrt(var).max()):.3f}]")
+
     kp, noise, hist = fit_distributed(
         k, x, y, mesh, jr.PRNGKey(0), block=args.block,
         steps=args.fit_steps, probes=8, lr=0.1,

@@ -346,43 +346,45 @@ def distributed_cholesky_factor(
     return L, Linv, logdet
 
 
-def _forward_solve_local_inv(L_loc, Linv, y, *, nb, block, num_devices, axis):
-    """Unrolled matmul-only forward substitution L z = y using the cached
-    diag-block inverses (no per-step triangular solve — those are
+def _forward_solve_local_inv(L_loc, Linv, Y, *, nb, block, num_devices, axis):
+    """Unrolled matmul-only forward substitution L Z = Y ([n, t] RHS) using
+    the cached diag-block inverses (no per-step triangular solve — those are
     latency-bound on TPU)."""
     nb_local = nb // num_devices
     d = jax.lax.axis_index(axis)
     g = _local_global_rows(nb_local, num_devices, d)
     hp = jax.lax.Precision.HIGHEST
-    s_loc = jnp.zeros((nb_local, block), y.dtype)
+    t = Y.shape[1]
+    s_loc = jnp.zeros((nb_local, block, t), Y.dtype)
     zs = []
     for k in range(nb):
         owner = k % num_devices
         local_idx = k // num_devices
         s_cand = s_loc[local_idx]
         s_k = jax.lax.psum(jnp.where(d == owner, s_cand, 0.0), axis)
-        y_k = y[k * block:(k + 1) * block]
-        z_k = jnp.matmul(Linv[k], y_k - s_k, precision=hp)
+        y_k = Y[k * block:(k + 1) * block]
+        z_k = jnp.matmul(Linv[k], y_k - s_k, precision=hp)  # [block, t]
         zs.append(z_k)
         if k + 1 == nb:
             break
         j0 = k // num_devices
         L_col = L_loc[j0:, :, k * block:(k + 1) * block]
-        contrib = jnp.einsum("jbc,c->jb", L_col, z_k, precision=hp)
-        live_mask = (g[j0:] > k)[:, None]
+        contrib = jnp.einsum("jbc,ct->jbt", L_col, z_k, precision=hp)
+        live_mask = (g[j0:] > k)[:, None, None]
         s_loc = s_loc.at[j0:].add(jnp.where(live_mask, contrib, 0.0))
     return jnp.concatenate(zs)
 
 
-def _backward_solve_local_inv(L_loc, Linv, zvec, *, nb, block, num_devices,
+def _backward_solve_local_inv(L_loc, Linv, Z, *, nb, block, num_devices,
                               axis):
-    """Unrolled matmul-only backward substitution Lᵀ x = z."""
+    """Unrolled matmul-only backward substitution Lᵀ X = Z ([n, t] RHS)."""
     nb_local = nb // num_devices
     d = jax.lax.axis_index(axis)
     g = _local_global_rows(nb_local, num_devices, d)
     hp = jax.lax.Precision.HIGHEST
+    t = Z.shape[1]
     xs = [None] * nb
-    x_loc = jnp.zeros((nb_local, block), zvec.dtype)  # local rows' x values
+    x_loc = jnp.zeros((nb_local, block, t), Z.dtype)  # local rows' x values
     for i in range(nb):
         k = nb - 1 - i
         j0 = k // num_devices
@@ -390,11 +392,11 @@ def _backward_solve_local_inv(L_loc, Linv, zvec, *, nb, block, num_devices,
         L_col = L_loc[j0:, :, k * block:(k + 1) * block]
         live = (g[j0:] > k)[:, None, None]
         t_part = jnp.einsum(
-            "jbc,jb->c", jnp.where(live, L_col, 0.0), x_loc[j0:],
+            "jbc,jbt->ct", jnp.where(live, L_col, 0.0), x_loc[j0:],
             precision=hp,
         )
         t_k = jax.lax.psum(t_part, axis)
-        z_k = zvec[k * block:(k + 1) * block]
+        z_k = Z[k * block:(k + 1) * block]
         x_k = jnp.matmul(Linv[k].T, z_k - t_k, precision=hp)
         xs[k] = x_k
         owner = k % num_devices
@@ -410,9 +412,12 @@ def distributed_chol_solve_inv(
     axis: str = "tp", block: int = 256,
 ) -> jnp.ndarray:
     """α = L⁻ᵀL⁻¹y via the unrolled matmul-only substitutions (fast path
-    companion of :func:`distributed_cholesky_factor`)."""
+    companion of :func:`distributed_cholesky_factor`). ``y`` may be [n] or
+    [n, t] (multi-RHS — e.g. the posterior's K_s columns)."""
     nb = L_cyclic.shape[0]
     P = mesh.shape[axis]
+    vec = y.ndim == 1
+    Y = y[:, None] if vec else y
     fwd = functools.partial(
         _forward_solve_local_inv, nb=nb, block=block, num_devices=P, axis=axis
     )
@@ -426,14 +431,58 @@ def distributed_chol_solve_inv(
                   PartitionSpec()),
         out_specs=PartitionSpec(),
         check_vma=False,
-    )(L_cyclic, Linv, y)
-    return jax.shard_map(
+    )(L_cyclic, Linv, Y)
+    X = jax.shard_map(
         bwd, mesh=mesh,
         in_specs=(PartitionSpec(axis, None, None), PartitionSpec(),
                   PartitionSpec()),
         out_specs=PartitionSpec(),
         check_vma=False,
     )(L_cyclic, Linv, z)
+    return X[:, 0] if vec else X
+
+
+def _forward_only_solve_inv(L_cyclic, Linv, Y, mesh, axis, block):
+    """L⁻¹Y (forward substitution only) — building block for posterior
+    variances via v = L⁻¹K_s."""
+    nb = L_cyclic.shape[0]
+    P = mesh.shape[axis]
+    fwd = functools.partial(
+        _forward_solve_local_inv, nb=nb, block=block, num_devices=P, axis=axis
+    )
+    return jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(PartitionSpec(axis, None, None), PartitionSpec(),
+                  PartitionSpec()),
+        out_specs=PartitionSpec(),
+        check_vma=False,
+    )(L_cyclic, Linv, Y)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "mesh", "axis",
+                                             "block"))
+def distributed_posterior(
+    kernel, kernel_params, x, y, x_test, noise, jitter, mesh: Mesh,
+    axis: str = "tp", block: int = 256,
+):
+    """EXACT (non-stochastic) posterior moments via the distributed
+    block-cyclic factorisation: μ* = K_sᵀα with α = Kₙ⁻¹y, and marginal
+    variances k_ss − ‖L⁻¹K_s‖² column-wise — the dense-parity companion of
+    the matrix-free ``models.iterative.iterative_posterior_chunked(mesh=)``
+    for sizes where the [n, n] build is affordable (reference exact
+    posterior semantics, ``Statistics/Auxiliary.py:57-103``, computed with
+    solves over the mesh instead of explicit inverses)."""
+    n = x.shape[0]
+    Kn = kernel.gram(kernel_params, x, x) + (
+        jnp.asarray(noise, x.dtype) + jitter
+    ) * jnp.eye(n, dtype=x.dtype)
+    L, Linv, _ = distributed_cholesky_factor(Kn, mesh, axis, block)
+    K_s = kernel.gram(kernel_params, x, x_test)  # [n, t]
+    alpha = distributed_chol_solve_inv(L, Linv, y, mesh, axis, block)
+    mu = jnp.matmul(K_s.T, alpha, precision=jax.lax.Precision.HIGHEST)
+    Vt = _forward_only_solve_inv(L, Linv, K_s, mesh, axis, block)  # L⁻¹K_s
+    var = kernel.diag(kernel_params, x_test) - jnp.sum(Vt * Vt, axis=0)
+    return mu, jnp.maximum(var, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "block"))
@@ -489,7 +538,7 @@ def distributed_nll(
                       PartitionSpec()),
             out_specs=PartitionSpec(),
             check_vma=False,
-        )(L, Linv, y)
+        )(L, Linv, y[:, None])
         return 0.5 * jnp.sum(z * z) + 0.5 * logdet + 0.5 * n * LOG_2PI
     L, logdet = distributed_cholesky(Kn, mesh, axis, block)
     fwd = functools.partial(

@@ -188,3 +188,36 @@ def test_unrolled_block_cholesky_matches_lapack(P):
         jnp.asarray(K), jnp.asarray(y), 0.0, 0.0, mesh, "tp", B
     ))
     np.testing.assert_allclose(nll_fast, nll_ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_distributed_posterior_matches_dense(P):
+    """r5: exact (non-stochastic) posterior moments via the unrolled
+    block-cyclic factor + multi-RHS matmul-only substitutions must match the
+    dense Cholesky posterior to machine precision on the CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gaussianprocessfundamentals_tpu.models.exact import (
+        posterior as exact_posterior,
+    )
+    from gaussianprocessfundamentals_tpu.parallel.block_cholesky import (
+        distributed_posterior,
+    )
+
+    rng_l = np.random.default_rng(0)
+    n = 512
+    x = jnp.asarray(np.sort(rng_l.uniform(0, 1, (n, 1)), 0))
+    y = jnp.asarray(np.sin(6 * np.asarray(x)[:, 0])
+                    + 0.1 * rng_l.standard_normal(n))
+    xs = jnp.asarray(rng_l.uniform(0.1, 0.9, (33, 1)))
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.2)}
+    ref = exact_posterior(k, p, x, y, xs, 0.01, 1e-8, method="dense")
+    mesh = Mesh(np.array(jax.devices()[:P]), ("tp",))
+    mu, var = distributed_posterior(k, p, x, y, xs, 0.01, 1e-8, mesh, "tp", 64)
+    np.testing.assert_allclose(
+        np.asarray(mu), np.asarray(ref.posterior_mu), atol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(var), np.asarray(ref.var),
+                               atol=1e-12)
