@@ -108,10 +108,28 @@ def build_preconditioner(kernel, kernel_params, x, m: int, noise,
 
     A = partial_pivoted_cholesky(kernel, kernel_params, x, m)  # P=σ²I+AAᵀ
     A = jnp.where(jnp.all(jnp.isfinite(A)), A, jnp.zeros_like(A))
-    # tall_qr, not jnp.linalg.qr: batched Householder QR at large n is ~18×
-    # slower under the restart-vmap (r5 measurement in tall_qr's docstring)
-    Q, Rr = tall_qr(A)  # Q [n, m], Rr [m, m]
+    # QR routing (r5): TSQR (tall_qr) ONLY in the vmapped-restart regime
+    # (n ≤ 40k, where batched Householder QR is ~18× slower — tall_qr
+    # docstring); at larger n plain QR — vmapped restarts are impossible
+    # there anyway (streaming matvec), and an XLA:TPU QR numerical bug was
+    # isolated r5 on pivchol factors at n=200k: the [4096, 256] BLOCK QRs
+    # return garbage Q (‖QᵀQ−I‖ ≈ 10!) on content where both the full-size
+    # TPU QR and CPU LAPACK are exact. Content-dependent, so the soundness
+    # guard below protects every route.
+    if x.shape[0] <= 40_000:
+        Q, Rr = tall_qr(A)  # Q [n, m], Rr [m, m]
+    else:
+        Q, Rr = jnp.linalg.qr(A)
     QtQ = jnp.matmul(Q.T, Q, precision=hp)
+    # SOUNDNESS GUARD (failure-detection stance, SURVEY §5.3): a garbage Q
+    # (any QR failure mode) would poison every preconditioned solve with
+    # plausible-looking numbers. If Q is not close to orthonormal — beyond
+    # what one Newton pass can repair — degrade to P = σ²I (W_b → 0): CG
+    # convergence slows but stays CORRECT, and the resid_guard/frozen_frac
+    # machinery reports the slowdown honestly.
+    qr_ok = jnp.max(jnp.abs(QtQ - jnp.eye(m, dtype=x.dtype))) < 0.01
+    Q = jnp.where(qr_ok, Q, jnp.zeros_like(Q))
+    Rr = jnp.where(qr_ok, Rr, jnp.zeros_like(Rr))
     Q = jnp.matmul(
         Q, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * QtQ, precision=hp
     )
