@@ -381,3 +381,50 @@ def test_streamed_gram_matvec_symmetric_matches_full():
     a = streamed_gram_matvec(k2, p2, x, V, 256)
     b = streamed_gram_matvec_symmetric(k2, p2, x, V, 256)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_preconditioner_qr_soundness_guard(monkeypatch):
+    """r5 regression: a garbage QR (the bisected XLA:TPU content-dependent
+    failure -- ||Q'Q - I|| ~ 10 on some pivchol factors) must degrade the
+    preconditioner to sigma^2*I (correct-but-slower) instead of silently
+    poisoning every solve (frozen_frac 1.0 with resid exactly 1.0,
+    BENCHMARKS.md r5 late finding)."""
+    import jax.numpy as jnp
+
+    import gaussianprocessfundamentals_tpu.linalg.mbcg as mbcg_mod
+    from gaussianprocessfundamentals_tpu.models.iterative import (
+        build_preconditioner,
+    )
+
+    n, m = 600, 32
+    x, _ = gpf.synth_se(n=n, lengthscale=0.1, noise_sd=0.1, seed=11)
+    x = jnp.asarray(x, jnp.float32)
+    k = gpf.SquaredExponentialKernel()
+    p = {"lengthscale": jnp.asarray(0.1, jnp.float32)}
+    noise = jnp.float32(0.01)
+
+    rng = np.random.default_rng(0)
+
+    def garbage_qr(A, max_rows=4096):
+        nn, mm = A.shape
+        return (
+            jnp.asarray(rng.standard_normal((nn, mm)) * 1e3, A.dtype),
+            jnp.asarray(rng.standard_normal((mm, mm)), A.dtype),
+        )
+
+    monkeypatch.setattr(mbcg_mod, "tall_qr", garbage_qr)
+    P_inv, W_b, sv, d_rng, log_P = build_preconditioner(k, p, x, m, noise)
+    # basis zeroed -> P^-1 v = v / sigma^2 and log|P| = n log sigma^2
+    assert float(jnp.max(jnp.abs(W_b))) == 0.0
+    v = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(P_inv(v)), np.asarray(v) / float(noise), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(log_P), n * np.log(float(noise)), rtol=1e-4
+    )
+    # and the healthy path keeps a live basis (guard must not over-fire)
+    monkeypatch.undo()
+    _, W_ok, sv_ok, _, log_ok = build_preconditioner(k, p, x, m, noise)
+    assert float(jnp.max(jnp.abs(W_ok))) > 0.0
+    assert float(log_ok) > n * np.log(float(noise))

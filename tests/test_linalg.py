@@ -281,3 +281,34 @@ def test_mbcg_transient_excursion_does_not_freeze():
     # system in 400 iterations (measured); the freeze must not do worse than
     # ~2x that — the old single-excursion freeze stopped at ~6e-3
     assert rel < 1.5e-3, rel
+
+
+def test_tall_qr_matches_householder_grade():
+    """r5: one-level TSQR (``tall_qr``) replaces XLA:TPU's batched Householder
+    QR in vmapped preconditioner builds (18x slowdown, BENCHMARKS.md r5).
+    Orthogonality and reconstruction must be Householder-grade, including the
+    zero-pad path (n not divisible by max_rows) and under vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianprocessfundamentals_tpu.linalg.mbcg import tall_qr
+
+    rng = np.random.default_rng(0)
+    for n, m in ((9000, 32), (4096, 16)):  # 9000 % 2048 != 0 -> pad path
+        A = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+        Q, R = tall_qr(A, max_rows=2048)
+        assert Q.shape == (n, m) and R.shape == (m, m)
+        eye = jnp.eye(m, dtype=Q.dtype)
+        assert float(jnp.max(jnp.abs(Q.T @ Q - eye))) < 1e-5
+        rec = float(jnp.max(jnp.abs(Q @ R - A)) / jnp.max(jnp.abs(A)))
+        assert rec < 1e-5
+        # R upper-triangular (combine-QR output)
+        assert float(jnp.max(jnp.abs(jnp.tril(R, -1)))) == 0.0
+    # vmapped batch must equal the per-item results (the lax.map block loop
+    # becomes a scan over small-row batched QRs -- the fast batched regime)
+    Ab = jnp.asarray(rng.standard_normal((3, 4096, 16)), jnp.float32)
+    Qb, Rb = jax.vmap(lambda a: tall_qr(a, max_rows=1024))(Ab)
+    for i in range(3):
+        Qi, Ri = tall_qr(Ab[i], max_rows=1024)
+        np.testing.assert_array_equal(np.asarray(Qb[i]), np.asarray(Qi))
+        np.testing.assert_array_equal(np.asarray(Rb[i]), np.asarray(Ri))
